@@ -1,0 +1,95 @@
+package graft
+
+import graft.engine._
+import graft.gen.SequenceGen
+import graft.spec.SchemaParser
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point: checkpointed validation of a sequences table.
+  *
+  * Usage:
+  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K]
+  *
+  * Runs the full pipeline — row-level constraint validation (fused
+  * Catalyst pass), per-partition verdicts, uniqueness / referential /
+  * consistency / drift checks — committing per partition to `outDir` so
+  * an interrupted run resumes where it stopped.
+  */
+object Main {
+
+  /** The built-in spec for the (doc_id, tokens, n_tok, source) shape. */
+  def builtinSpec: String =
+    s"""{
+      "type": "object",
+      "properties": {
+        "doc_id": {"type": "string", "required": true,
+                   "pattern": "^d[0-9]{10}$$", "minLength": 11, "maxLength": 11},
+        "tokens": {"type": "array", "required": true, "minItems": 1,
+                   "items": {"type": "integer", "minimum": 0,
+                             "maximum": ${SequenceGen.Vocab - 1}}},
+        "n_tok":  {"type": "integer", "required": true, "minimum": 1},
+        "source": {"type": "string", "required": true}
+      }
+    }"""
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4 || args(0) != "validate") {
+      System.err.println(
+        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K]")
+      sys.exit(2)
+    }
+    val (input, specArg, outDir) = (args(1), args(2), args(3))
+    val maxParts = args.sliding(2).collectFirst {
+      case Array("--maxPartitions", k) => k.toInt
+    }
+
+    val builder0 = SparkSession.builder().appName("graft-validate")
+    // spark-submit provides the master; standalone runs fall back to local
+    val builder =
+      if (sys.props.contains("spark.master")) builder0
+      else builder0.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+    val spark = builder
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df =
+      if (input.startsWith("gen:")) SequenceGen.generate(spark, input.drop(4).toLong)
+      else spark.read.parquet(input)
+    val specJson =
+      if (specArg == "builtin") builtinSpec
+      else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specArg)))
+    val spec = SchemaParser.parse(specJson)
+
+    val runner = new CheckpointRunner(spark, outDir)
+    val done = runner.completedPartitions()
+    if (done.nonEmpty)
+      println(s"[graft] resuming: ${done.size} partitions already committed: ${done.toSeq.sorted.mkString(",")}")
+
+    val results = runner.run(df, spec, "doc_id", "source", maxParts)
+    results.foreach { r =>
+      println(f"[graft] partition=${r.partition}%-12s rows=${r.nRows}%8d failed=${r.nFailed}%6d violations=${r.nViolations}%6d pass=${r.pass}")
+    }
+
+    // cross-row checks over the whole table (not per-partition)
+    val uniq = Checks.uniquenessViolations(df, "doc_id")
+    val refi = Checks.referentialViolations(df, "source", SequenceGen.sourcesDim(spark), "source")
+    val cons = Checks.consistencyViolations(df, "doc_id", "$.n_tok.consistent",
+      col("n_tok") === size(col("tokens")), col("n_tok"))
+    println(s"[graft] uniqueness violations: ${uniq.count()}")
+    println(s"[graft] referential violations: ${refi.count()}")
+    println(s"[graft] consistency violations: ${cons.count()}")
+
+    val hist = Checks.histogram(df.where(col("source").isin(SequenceGen.Sources: _*)),
+      "n_tok", 32.0, Seq("source"))
+    val drift = Checks.driftByGroup(hist, Seq("source"), SequenceGen.baselineProfile(spark, 32))
+    drift.orderBy(desc("psi")).collect().take(3).foreach { r =>
+      println(f"[graft] drift source=${r.getString(0)} kl=${r.getDouble(1)}%.4f psi=${r.getDouble(2)}%.4f")
+    }
+    spark.stop()
+  }
+}

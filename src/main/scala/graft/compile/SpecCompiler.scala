@@ -1,0 +1,529 @@
+package graft.compile
+
+import graft.spec._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+/** One compiled constraint: a stable path-based id, a BooleanType pass
+  * expression, and an expression producing the offending value (as string)
+  * for the violations Dataset.
+  */
+final case class CompiledConstraint(cid: String, pass: Column, offending: Column)
+
+/** Compiles a [[SchemaSpec]] against a Spark schema into independent
+  * Catalyst pass/offending expressions — the Spark analog of the
+  * reference's Template-Haskell parser generator
+  * (reference: src/Data/Aeson/Schema/CodeGen.hs:59-91): compile once on
+  * the driver, evaluate many times as whole-stage-codegen'd expressions.
+  *
+  * Unlike the reference's generated parsers (fail-fast `Parser` monad,
+  * CodeGen.hs:209-217), the output model follows the reference's
+  * *interpreter* (Validator.hs:43-50): each constraint is evaluated
+  * independently so ALL violations per row are reported.
+  *
+  * Design rules:
+  *   - plan-time type analysis: checks that a typed column statically
+  *     satisfies are elided (the dead-check elision of CodeGen.hs:238,491);
+  *     statically impossible types become constant-false constraints.
+  *   - SQL NULL collapses JSON null/undefined (documented divergence,
+  *     SURVEY.md §7.4): an absent (null) property passes every check
+  *     except `required`.
+  *   - constraint ids are `$.path.keyword`, identical to the ones the
+  *     in-memory oracle emits, so violation sets are directly comparable.
+  */
+object SpecCompiler {
+
+  /** A constraint generator: id plus pass/offending as functions of the
+    * (not yet known) input column — needed so array-element constraints
+    * can be rebuilt inside `forall`/`filter` lambda scopes.
+    */
+  final case class Gen(cid: String, pass: Column => Column, offending: Column => Column)
+
+  private val FalseC: Column = lit(false)
+  private val TrueC: Column = lit(true)
+
+  /** `format: "regex"` needs a compile-check UDF — the one reference
+    * check with no Catalyst built-in (reference: Helpers.hs:31-56; only
+    * the "regex" format is ever validated, all others are no-ops).
+    */
+  private val isValidRegex = udf { (s: String) =>
+    if (s == null) true
+    else scala.util.Try(java.util.regex.Pattern.compile(s)).isSuccess
+  }
+
+  // ---------------------------------------------------------------------
+  // public entry points
+  // ---------------------------------------------------------------------
+
+  /** Compile a spec for a table whose rows are the JSON objects. */
+  def compileTable(spec: SchemaSpec, schema: StructType): Seq[CompiledConstraint] = {
+    val row = struct(schema.fieldNames.map(col).toSeq: _*)
+    // Catalyst's SimplifyExtractValueOps collapses
+    // GetStructField(CreateNamedStruct) back to the bare column, so
+    // column pruning / pushdown survive this uniform encoding.
+    valueGens(spec, schema, "$").map(materialize(_, row))
+  }
+
+  /** Compile a spec for a single column. */
+  def compileColumn(spec: SchemaSpec, dt: DataType, c: Column, path: String): Seq[CompiledConstraint] =
+    valueGens(spec, dt, path).map(materialize(_, c))
+
+  /** Conjunction of all constraints of a spec over a column — used for
+    * union branches, `disallow` subschemas, and schema-form dependencies.
+    */
+  def conjunction(spec: SchemaSpec, dt: DataType, path: String): Column => Column = {
+    val gens = valueGens(spec, dt, path)
+    c => if (gens.isEmpty) TrueC else gens.map(g => notNullPass(g.pass(c))).reduce(_ && _)
+  }
+
+  private def materialize(g: Gen, c: Column): CompiledConstraint =
+    CompiledConstraint(g.cid, notNullPass(g.pass(c)), g.offending(c))
+
+  /** Boolean expressions over nullable inputs yield NULL; a NULL verdict
+    * means "could not pass" for a present value, so it resolves to false.
+    * (Null/absent short-circuits to pass happen explicitly via guards.)
+    */
+  private def notNullPass(p: Column): Column = coalesce(p, FalseC)
+
+  // ---------------------------------------------------------------------
+  // the recursive compiler
+  // ---------------------------------------------------------------------
+
+  /** All constraint generators of `spec` for a value of Spark type `dt`.
+    * Mirrors the interpreter's entry: type dispatch + enum + disallow +
+    * extends, concatenated (reference: Validator.hs:43-50).
+    */
+  def valueGens(spec: SchemaSpec, dt: DataType, path: String): Seq[Gen] = {
+    require(spec.ref.isEmpty,
+      s"unresolved $$ref '${spec.ref.get}' at $path — run SchemaParser.inline first")
+
+    val typeGens: Seq[Gen] = spec.types match {
+      case Seq(Left(t))    => typedGens(spec, t, dt, path)
+      case Seq(Right(sub)) => valueGens(sub, dt, path)
+      case many =>
+        // union: pass iff any alternative is fully clean (Validator.hs:44-46)
+        val branches: Seq[Column => Column] = many.map {
+          case Left(t) =>
+            val gens = typedGens(spec, t, dt, path)
+            (c: Column) =>
+              if (gens.isEmpty) TrueC
+              else gens.map(g => notNullPass(g.pass(c))).reduce(_ && _)
+          case Right(sub) => conjunction(sub, dt, path)
+        }
+        Seq(Gen(s"$path.type",
+          c => branches.map(_(c)).reduce(_ || _),
+          c => offendingValue(c, dt)))
+    }
+
+    val enumGen = spec.enumValues.toSeq.map { allowed =>
+      Gen(s"$path.enum", enumPass(allowed, dt), c => offendingValue(c, dt))
+    }
+
+    val disallowGen = if (spec.disallow.isEmpty) Nil else {
+      val matchers: Seq[Column => Column] = spec.disallow.map {
+        case Left(t)    => typeMatchExpr(t, dt)
+        case Right(sub) => conjunction(sub, dt, path)
+      }
+      Seq(Gen(s"$path.disallow",
+        c => !matchers.map(_(c)).reduce(_ || _),
+        c => offendingValue(c, dt)))
+    }
+
+    val extendGens = spec.extendsSchemas.flatMap(base => valueGens(base, dt, path))
+
+    typeGens ++ enumGen ++ disallowGen ++ extendGens
+  }
+
+  /** Keyword checks for one allowed type arm against the physical type.
+    * Statically impossible arm = constant-false type constraint; `any`
+    * re-dispatches on the physical type (Validator.hs:60-65).
+    */
+  private def typedGens(spec: SchemaSpec, t: SchemaType, dt: DataType, path: String): Seq[Gen] = {
+    import SchemaType._
+    t match {
+      case SAny =>
+        // leaf checks for whatever the physical type is; NULL values pass
+        val leaf = leafGensFor(spec, dt, path)
+        leaf.map(g => Gen(g.cid, c => c.isNull || notNullPass(g.pass(c)), g.offending))
+      case SString if dt == StringType  => stringGens(spec, path)
+      case SNumber if isNumeric(dt)     => numberGens(spec, dt, path)
+      case SInteger if isIntegral(dt)   => numberGens(spec, dt, path)
+      case SInteger if isNumeric(dt) =>
+        // fractional physical type: dynamic integrality residue (Validator.hs:81,131-133)
+        Gen(s"$path.type", c => c === floor(c), c => offendingValue(c, dt)) +:
+          numberGens(spec, dt, path)
+      case SBoolean if dt == BooleanType => Nil
+      case SNull =>
+        Seq(Gen(s"$path.type", c => c.isNull, c => offendingValue(c, dt)))
+      case SObject =>
+        dt match {
+          case st: StructType => objectGens(spec, st, path)
+          case mt: MapType    => mapObjectGens(spec, mt, path)
+          case _              => Seq(staticTypeFail(dt, path))
+        }
+      case SArray =>
+        dt match {
+          case at: ArrayType => arrayGens(spec, at, path)
+          case _             => Seq(staticTypeFail(dt, path))
+        }
+      case _ => Seq(staticTypeFail(dt, path))
+    }
+  }
+
+  private def staticTypeFail(dt: DataType, path: String): Gen =
+    Gen(s"$path.type", _ => FalseC, c => offendingValue(c, dt))
+
+  /** Leaf checks selected by physical type (the `any` dispatch). */
+  private def leafGensFor(spec: SchemaSpec, dt: DataType, path: String): Seq[Gen] = dt match {
+    case StringType        => stringGens(spec, path)
+    case d if isNumeric(d) => numberGens(spec, d, path)
+    case at: ArrayType     => arrayGens(spec, at, path)
+    case st: StructType    => objectGens(spec, st, path)
+    case mt: MapType       => mapObjectGens(spec, mt, path)
+    case _                 => Nil
+  }
+
+  // --- strings (Validator.hs:102-113) ---
+
+  private def stringGens(spec: SchemaSpec, path: String): Seq[Gen] = {
+    val minL =
+      if (spec.minLength > 0)
+        Seq(Gen(s"$path.minLength", c => length(c) >= spec.minLength, strOff))
+      else Nil
+    val maxL = spec.maxLength.toSeq.map(m =>
+      Gen(s"$path.maxLength", c => length(c) <= m, strOff))
+    val pat = spec.pattern.toSeq.map(p =>
+      Gen(s"$path.pattern", c => c.rlike(p.source), strOff))
+    val fmt = spec.format match {
+      case Some("regex") =>
+        Seq(Gen(s"$path.format", c => isValidRegex(c), strOff))
+      case _ => Nil // every other format tag is a no-op in the reference
+    }
+    minL ++ maxL ++ pat ++ fmt
+  }
+
+  private def strOff: Column => Column = c => c
+
+  // --- numbers (Validator.hs:115-133, Helpers.hs:59-67) ---
+
+  private def numberGens(spec: SchemaSpec, dt: DataType, path: String): Seq[Gen] = {
+    def bound(v: BigDecimal): Column = numLit(v, dt)
+    val minV = spec.minimum.toSeq.map { m =>
+      Gen(s"$path.minimum",
+        c => if (spec.exclusiveMinimum) c > bound(m) else c >= bound(m),
+        numOff(dt))
+    }
+    val maxV = spec.maximum.toSeq.map { m =>
+      Gen(s"$path.maximum",
+        c => if (spec.exclusiveMaximum) c < bound(m) else c <= bound(m),
+        numOff(dt))
+    }
+    val div = spec.divisibleBy.toSeq.map { d =>
+      if (d.isWhole && isIntegral(dt))
+        Gen(s"$path.divisibleBy", c => c % lit(d.toLong) === 0, numOff(dt))
+      else
+        // exact decimal remainder — Spark decimal arithmetic is exact
+        // within 38 digits (documented limit, SURVEY.md §7.5)
+        Gen(s"$path.divisibleBy",
+          c => c.cast(DecimalType(38, 18)) % lit(d.underlying()) === lit(BigDecimal(0).underlying()),
+          numOff(dt))
+    }
+    minV ++ maxV ++ div
+  }
+
+  private def numLit(v: BigDecimal, dt: DataType): Column =
+    if (v.isWhole && isIntegral(dt) && v.isValidLong) lit(v.toLong)
+    else if (v.isWhole && v.isValidLong && (dt == DoubleType || dt == FloatType)) lit(v.toDouble)
+    else lit(v.underlying())
+
+  private def numOff(dt: DataType): Column => Column = c => c.cast(StringType)
+
+  // --- arrays (Validator.hs:164-186) ---
+
+  private def arrayGens(spec: SchemaSpec, at: ArrayType, path: String): Seq[Gen] = {
+    val et = at.elementType
+    val minI =
+      if (spec.minItems > 0)
+        Seq(Gen(s"$path.minItems", c => size(c) >= spec.minItems, c => size(c).cast(StringType)))
+      else Nil
+    val maxI = spec.maxItems.toSeq.map(m =>
+      Gen(s"$path.maxItems", c => size(c) <= m, c => size(c).cast(StringType)))
+    // hash-based O(n) distinctness — same verdict as the reference's
+    // O(n²) nub (Helpers.hs:24-26)
+    val uniq =
+      if (spec.uniqueItems)
+        Seq(Gen(s"$path.uniqueItems",
+          c => size(array_distinct(c)) === size(c),
+          c => offendingValue(c, at)))
+      else Nil
+
+    val itemGens: Seq[Gen] = spec.items match {
+      case None => Nil
+      case Some(Left(one)) =>
+        // one schema for all elements: each element-level constraint
+        // becomes a `forall`; offending values are the failing elements
+        valueGens(one, et, s"$path[*]").map { g =>
+          Gen(g.cid,
+            c => forall(c, x => notNullPass(g.pass(x))),
+            c => to_json(filter(c, x => !notNullPass(g.pass(x)))))
+        }
+      case Some(Right(tuple)) =>
+        val positional = tuple.zipWithIndex.flatMap { case (sub, i) =>
+          valueGens(sub, et, s"$path[$i]").map { g =>
+            // element beyond the array's end is undefined → passes
+            // (positions ≥ minItems are optional, CodeGen.hs:445-452)
+            Gen(g.cid,
+              c => size(c) <= i || notNullPass(g.pass(element_at(c, i + 1))),
+              c => element_at(c, i + 1).cast(StringType))
+          }
+        }
+        val k = tuple.length
+        val extra: Seq[Gen] = spec.additionalItems match {
+          case Left(true) => Nil
+          case Left(false) =>
+            Seq(Gen(s"$path.additionalItems", c => size(c) <= k,
+              c => to_json(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))))))
+          case Right(sub) =>
+            valueGens(sub, et, s"$path[*]").map { g =>
+              Gen(g.cid,
+                c => forall(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))),
+                  x => notNullPass(g.pass(x))),
+                c => to_json(filter(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))),
+                  x => !notNullPass(g.pass(x)))))
+            }
+        }
+        positional ++ extra
+    }
+    minI ++ maxI ++ uniq ++ itemGens
+  }
+
+  // --- objects over fixed StructType (Validator.hs:135-162) ---
+
+  private def objectGens(spec: SchemaSpec, st: StructType, path: String): Seq[Gen] = {
+    val fieldMap = st.fields.map(f => f.name -> f.dataType).toMap
+
+    val propGens = spec.properties.toSeq.sortBy(_._1).flatMap { case (name, sub) =>
+      fieldMap.get(name) match {
+        case Some(fdt) =>
+          val req =
+            if (sub.required)
+              Seq(Gen(s"$path.$name.required",
+                c => c.getField(name).isNotNull, _ => lit(null).cast(StringType)))
+            else Nil
+          // absent (NULL) property passes all non-required checks
+          val childGens = valueGens(sub, fdt, s"$path.$name").map { g =>
+            Gen(g.cid,
+              c => c.getField(name).isNull || notNullPass(g.pass(c.getField(name))),
+              c => g.offending(c.getField(name)))
+          }
+          req ++ childGens
+        case None =>
+          // property not in the physical schema = always undefined
+          if (sub.required)
+            Seq(Gen(s"$path.$name.required", _ => FalseC, _ => lit(null).cast(StringType)))
+          else Nil
+      }
+    }
+
+    // patternProperties resolve against the *known* field names at plan
+    // time; they compose with `properties` (both apply, Validator.hs:140-153)
+    val patGens = st.fieldNames.toSeq.sorted.flatMap { name =>
+      spec.patternProperties.collect {
+        case (p, sub) if p.matches(name) =>
+          valueGens(sub, fieldMap(name), s"$path.$name").map { g =>
+            Gen(g.cid,
+              c => c.getField(name).isNull || notNullPass(g.pass(c.getField(name))),
+              c => g.offending(c.getField(name)))
+          }
+      }.flatten
+    }
+
+    val matched = (name: String) =>
+      spec.properties.contains(name) || spec.patternProperties.exists(_._1.matches(name))
+    val extraFields = st.fieldNames.toSeq.filterNot(matched).sorted
+    val addGens: Seq[Gen] = spec.additionalProperties match {
+      case Left(true) => Nil
+      case Left(false) =>
+        if (extraFields.isEmpty) Nil
+        else
+          // extra column present (non-null) = violation; NULL = undefined
+          Seq(Gen(s"$path.additionalProperties",
+            c => extraFields.map(n => c.getField(n).isNull).reduce(_ && _),
+            c => to_json(struct(extraFields.map(n => c.getField(n).as(n)): _*))))
+      case Right(sub) =>
+        extraFields.flatMap { name =>
+          valueGens(sub, fieldMap(name), s"$path.$name").map { g =>
+            Gen(g.cid,
+              c => c.getField(name).isNull || notNullPass(g.pass(c.getField(name))),
+              c => g.offending(c.getField(name)))
+          }
+        }
+    }
+
+    val depGens = spec.dependencies.toSeq.sortBy(_._1).flatMap { case (name, dep) =>
+      if (!fieldMap.contains(name)) Nil // trigger can never be present
+      else dep match {
+        case Left(requiredProps) =>
+          Seq(Gen(s"$path.dependencies",
+            c => c.getField(name).isNull ||
+              requiredProps.map(p =>
+                if (fieldMap.contains(p)) c.getField(p).isNotNull else FalseC)
+                .reduceOption(_ && _).getOrElse(TrueC),
+            c => c.getField(name).cast(StringType)))
+        case Right(sub) =>
+          val subPass = conjunction(sub, st, path)
+          Seq(Gen(s"$path.dependencies",
+            c => c.getField(name).isNull || subPass(c),
+            c => c.getField(name).cast(StringType)))
+      }
+    }
+
+    propGens ++ patGens ++ addGens ++ depGens
+  }
+
+  // --- objects over MapType: the reference's map specialization for
+  //     homogeneous objects (CodeGen.hs:311-333) ---
+
+  private def mapObjectGens(spec: SchemaSpec, mt: MapType, path: String): Seq[Gen] = {
+    val vt = mt.valueType
+
+    val propGens = spec.properties.toSeq.sortBy(_._1).flatMap { case (name, sub) =>
+      val req =
+        if (sub.required)
+          // map presence is true presence — even a null value satisfies
+          // `required` (matches Validator.hs:159-162 exactly)
+          Seq(Gen(s"$path.$name.required",
+            c => map_contains_key(c, name), _ => lit(null).cast(StringType)))
+        else Nil
+      val childGens = valueGens(sub, vt, s"$path.$name").map { g =>
+        Gen(g.cid,
+          c => element_at(c, name).isNull || notNullPass(g.pass(element_at(c, name))),
+          c => g.offending(element_at(c, name)))
+      }
+      req ++ childGens
+    }
+
+    val patGens = spec.patternProperties.flatMap { case (p, sub) =>
+      valueGens(sub, vt, s"$path.<pattern:${p.source}>").map { g =>
+        Gen(g.cid,
+          c => forall(map_entries(c), e =>
+            !e.getField("key").rlike(p.source) ||
+              e.getField("value").isNull || notNullPass(g.pass(e.getField("value")))),
+          c => to_json(filter(map_entries(c), e =>
+            e.getField("key").rlike(p.source) &&
+              e.getField("value").isNotNull && !notNullPass(g.pass(e.getField("value"))))))
+      }
+    }
+
+    def unmatchedKey(k: Column): Column = {
+      val inProps =
+        if (spec.properties.isEmpty) FalseC
+        else k.isin(spec.properties.keys.toSeq: _*)
+      val inPatterns = spec.patternProperties
+        .map { case (p, _) => k.rlike(p.source) }
+        .reduceOption(_ || _).getOrElse(FalseC)
+      !(inProps || inPatterns)
+    }
+
+    val addGens: Seq[Gen] = spec.additionalProperties match {
+      case Left(true) => Nil
+      case Left(false) =>
+        Seq(Gen(s"$path.additionalProperties",
+          c => forall(map_keys(c), k => !unmatchedKey(k)),
+          c => to_json(filter(map_keys(c), k => unmatchedKey(k)))))
+      case Right(sub) =>
+        valueGens(sub, vt, s"$path.<additional>").map { g =>
+          Gen(g.cid,
+            c => forall(map_entries(c), e =>
+              !unmatchedKey(e.getField("key")) ||
+                e.getField("value").isNull || notNullPass(g.pass(e.getField("value")))),
+            c => to_json(filter(map_entries(c), e =>
+              unmatchedKey(e.getField("key")) &&
+                e.getField("value").isNotNull && !notNullPass(g.pass(e.getField("value"))))))
+        }
+    }
+
+    propGens ++ patGens ++ addGens
+  }
+
+  // --- enum / disallow helpers ---
+
+  private def enumPass(allowed: Seq[JValue], dt: DataType): Column => Column = {
+    def lits: Seq[Any] = dt match {
+      case StringType => allowed.collect { case JString(s) => s }
+      case d if isIntegral(d) =>
+        allowed.collect {
+          case JInt(i)                    => i.toLong
+          case JLong(l)                   => l
+          case JDecimal(x) if x.isWhole   => x.toLong
+          case JDouble(x) if x.isWhole    => x.toLong
+        }
+      case d if isNumeric(d) =>
+        allowed.collect {
+          case JInt(i)     => i.toDouble
+          case JLong(l)    => l.toDouble
+          case JDecimal(x) => x.toDouble
+          case JDouble(x)  => x
+        }
+      case BooleanType => allowed.collect { case JBool(b) => b }
+      case _           => Nil
+    }
+    dt match {
+      case _: ArrayType =>
+        // deep structural equality against array literals
+        val arrays = allowed.collect { case JArray(xs) =>
+          typedlit(xs.collect {
+            case JInt(i)   => i.toLong
+            case JLong(l)  => l
+            case JDouble(x) => x.toLong
+            case JDecimal(x) => x.toLong
+          })
+        }
+        c => arrays.map(a => c.cast(ArrayType(LongType)) === a)
+          .reduceOption(_ || _).getOrElse(FalseC)
+      case _ =>
+        val vs = lits
+        c => if (vs.isEmpty) FalseC else c.isin(vs: _*)
+    }
+  }
+
+  /** Runtime type-match of a disallow arm against the physical type
+    * (constructor-level semantics, Validator.hs:79-87).
+    */
+  private def typeMatchExpr(t: SchemaType, dt: DataType): Column => Column = {
+    import SchemaType._
+    t match {
+      case SAny     => _ => TrueC
+      case SString  => _ => lit(dt == StringType)
+      case SNumber  => _ => lit(isNumeric(dt))
+      case SInteger =>
+        if (isIntegral(dt)) _ => TrueC
+        else if (isNumeric(dt)) c => c === floor(c)
+        else _ => FalseC
+      case SBoolean => _ => lit(dt == BooleanType)
+      case SObject  => _ => lit(dt.isInstanceOf[StructType] || dt.isInstanceOf[MapType])
+      case SArray   => _ => lit(dt.isInstanceOf[ArrayType])
+      case SNull    => c => c.isNull
+    }
+  }
+
+  // --- misc ---
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType                                => d.scale == 0
+    case _                                             => false
+  }
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _              => false
+  }
+
+  private def offendingValue(c: Column, dt: DataType): Column = dt match {
+    case _: ArrayType | _: StructType | _: MapType => to_json(c)
+    case _                                         => c.cast(StringType)
+  }
+}
