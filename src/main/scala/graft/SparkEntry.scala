@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine._
+import graft.ops._
+import graft.spec.SchemaParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one entry per implemented operator (SURVEY.md §2 +
+  * the training-pipeline operator families), each with ANSI-SQL oracle
+  * text runnable by DuckDB over the same parquet tables. Oracle SQL is
+  * generated from the same Scala constants the operators use, so both
+  * sides stay in sync by construction.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  // ---- shared constants (Spark impl ⇄ oracle SQL) ----
+
+  val DocLangs: Seq[String] = Seq("en", "es", "de", "fr")
+  val DocSpecJson: String =
+    s"""{
+      "type": "object",
+      "properties": {
+        "doc_id":  {"type": "integer", "required": true, "minimum": 0},
+        "text":    {"type": "string", "required": true, "minLength": 60, "maxLength": 500},
+        "lang":    {"type": "string", "required": true,
+                    "enum": [${DocLangs.map("\"" + _ + "\"").mkString(",")}]},
+        "source":  {"type": "string", "required": true, "pattern": "^src[0-9]{1,2}$$"},
+        "n_chars": {"type": "integer", "required": true, "minimum": 1, "maximum": 400}
+      }
+    }"""
+  private lazy val docSpec = SchemaParser.parse(DocSpecJson)
+
+  private val P = TextOps.HashPrime
+  /** DuckDB rendering of TextOps.bucketHash. */
+  private def hSql(e: String): String =
+    s"((('0x' || substr(md5($e),1,15))::BIGINT) % $P)"
+  private val wordsSql = "string_split(text, ' ')"
+  private val shinglesSql =
+    "(CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [text] END)"
+
+  private def inList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
+
+  /** The violation arms of DocSpecJson as (cid, whereSql, offendingSql). */
+  private val docViolationArms: Seq[(String, String, String)] = Seq(
+    ("$.doc_id.required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)"),
+    ("$.doc_id.minimum", "doc_id IS NOT NULL AND doc_id < 0", "CAST(doc_id AS VARCHAR)"),
+    ("$.text.required", "text IS NULL", "CAST(NULL AS VARCHAR)"),
+    ("$.text.minLength", "text IS NOT NULL AND length(text) < 60", "text"),
+    ("$.text.maxLength", "text IS NOT NULL AND length(text) > 500", "text"),
+    ("$.lang.required", "lang IS NULL", "CAST(NULL AS VARCHAR)"),
+    ("$.lang.enum", s"lang IS NOT NULL AND lang NOT IN (${inList(DocLangs)})", "lang"),
+    ("$.source.required", "source IS NULL", "CAST(NULL AS VARCHAR)"),
+    ("$.source.pattern",
+      "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]{1,2}$')", "source"),
+    ("$.n_chars.required", "n_chars IS NULL", "CAST(NULL AS VARCHAR)"),
+    ("$.n_chars.minimum", "n_chars IS NOT NULL AND n_chars < 1", "CAST(n_chars AS VARCHAR)"),
+    ("$.n_chars.maximum", "n_chars IS NOT NULL AND n_chars > 400", "CAST(n_chars AS VARCHAR)"))
+
+  private val docViolCountSql: String = docViolationArms
+    .map { case (_, w, _) => s"(CASE WHEN $w THEN 1 ELSE 0 END)" }
+    .mkString(" + ")
+
+  // ---- flagship ----
+
+  /** Flagship: full fused validation of the documents table. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ValidationEngine.annotate(read(spark, "/root/testdata/sf0.001", "documents"), docSpec)
+      .select(col("doc_id"), col(ValidationEngine.PassCol),
+        to_json(col(ValidationEngine.ViolationsCol)).as("violations"))
+
+  // ---- queries ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // === validation engine (SURVEY.md §2.1-2.5 keyword compiler) ===
+    "val_violations" -> ((s, dir) =>
+      ValidationEngine.violations(read(s, dir, "documents"), docSpec, Seq("doc_id"))),
+
+    "val_row_verdicts" -> ((s, dir) =>
+      ValidationEngine.verdicts(read(s, dir, "documents"), docSpec, Seq("doc_id"))),
+
+    "val_verdicts_by_source" -> ((s, dir) =>
+      ValidationEngine.partitionVerdicts(read(s, dir, "documents"), docSpec, Seq("source"))),
+
+    // === per-column stats (single-pass profile) ===
+    "val_profile" -> ((s, dir) =>
+      TableProfiler.profile(read(s, dir, "documents"))
+        .withColumnRenamed("column", "col_name")
+        .drop("approx_distinct")), // HLL is engine-only; oracle checks exact stats
+
+    "val_histogram" -> ((s, dir) =>
+      Checks.histogram(read(s, dir, "documents"), "n_chars", 50.0, Seq("lang"))),
+
+    "val_drift" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val hist = Checks.histogram(docs, "n_chars", 50.0, Seq("lang"))
+      val total = docs.count().toDouble
+      val base = Checks.histogram(docs, "n_chars", 50.0)
+        .select(col("bucket"), (col("n") / total).as("p"))
+      Checks.driftByGroup(hist, Seq("lang"), base)
+        .select(col("lang"), round(col("kl"), 6).as("kl"), round(col("psi"), 6).as("psi"))
+    }),
+
+    // === cross-row checks ===
+    "chk_unique" -> ((s, dir) =>
+      Checks.uniquenessViolations(read(s, dir, "events"), "user_id")),
+
+    "chk_referential" -> ((s, dir) =>
+      Checks.referentialViolations(read(s, dir, "lineitem"), "l_suppkey",
+        read(s, dir, "supplier"), "s_suppkey")),
+
+    "chk_consistency" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      docs.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("n_chars") === length(col("text")), 0L).otherwise(1L))
+          .as("n_violations"))
+    }),
+
+    // === dedup family ===
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(read(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"),
+        Dedup.simhash(col("text")).as("simhash"))),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text", 0.1)),
+
+    "dedup_embed_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", 0.25)),
+
+    // === text analysis ===
+    "txt_tokens" -> ((s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))),
+
+    "txt_quality" -> ((s, dir) =>
+      TextOps.qualityFeatures(read(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "stopword_ratio", "avg_word_len", "quality")),
+
+    "txt_langid" -> ((s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    "txt_fingerprint" -> ((s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.rollingFingerprint(col("text")).as("rolling_fp"))),
+
+    // === similarity search ===
+    "ann_topk" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "ann_lsh_hist" -> ((s, dir) =>
+      Similarity.lshBucketHistogram(read(s, dir, "embeddings"), "embedding", lshPlanes)),
+
+    // === multimodal plumbing (stubbed decode over binary payloads) ===
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(read(s, dir, "documents"), "doc_id", "text").toDF()),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrameOffsets(read(s, dir, "documents"), "doc_id", "text", 4)),
+
+    // === relational coverage: agg / join / window / time rollup ===
+    "q1_pricing" -> ((s, dir) =>
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("sum_disc_c"))),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val li = read(s, dir, "lineitem")
+      val o = read(s, dir, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_window_first_ship" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      read(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_events_daily" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c")))
+  )
+
+  // ---- LSH planes shared between Scala impl and oracle SQL ----
+  lazy val lshPlanes: Array[Array[Double]] = Similarity.hyperplanes(8, 64)
+  private def planeSql(p: Array[Double]): String =
+    "[" + p.map(_.toString).mkString(", ") + "]::DOUBLE[]"
+  private def lshBucketSql(vec: String): String =
+    lshPlanes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vec::DOUBLE[], ${planeSql(p)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---- oracle SQL ----
+
+  def oracleSql: Map[String, String] = {
+    val minhashSigSql = {
+      val ms = Dedup.minhashCoeffs(8).zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(sh, s -> ((${hSql("s")} * $a + $b) % $P))) AS m$i"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+          SELECT doc_id, $ms FROM sh"""
+    }
+
+    val simhashSql = {
+      val terms = (0 until 16).map { j =>
+        s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN ((${hSql("x")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+          FROM (SELECT doc_id, $wordsSql AS w FROM documents)"""
+    }
+
+    val langidSql = {
+      val scores = TextOps.LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(w, x -> x IN (${inList(ms)}))) AS ${lang}_s"
+      }.mkString(", ")
+      val langs = TextOps.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(_ + "_s").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN ${l}_s = g AND g > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+          FROM (SELECT doc_id, $scores, $best AS g
+                FROM (SELECT doc_id, $wordsSql AS w FROM documents))"""
+    }
+
+    Map(
+      "val_violations" -> docViolationArms.map { case (cid, where, off) =>
+        s"SELECT doc_id, '$cid' AS constraint_id, $off AS offending FROM documents WHERE $where"
+      }.mkString("\nUNION ALL\n"),
+
+      "val_row_verdicts" ->
+        s"SELECT doc_id, ($docViolCountSql) = 0 AS valid FROM documents",
+
+      "val_verdicts_by_source" ->
+        s"""SELECT source, count(*) AS n_rows,
+            CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_failed_rows,
+            CAST(sum(nv) AS BIGINT) AS n_violations,
+            sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0 AS partition_pass
+            FROM (SELECT source, ($docViolCountSql) AS nv FROM documents)
+            GROUP BY source""",
+
+      "val_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_rate,
+            CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+            FROM documents"""
+      }.mkString("\nUNION ALL\n"),
+
+      "val_histogram" ->
+        """SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS n
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2""",
+
+      "val_drift" ->
+        """WITH h AS (SELECT lang, CAST(floor(n_chars/50.0) AS BIGINT) AS bucket, count(*) AS n
+                      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1,2),
+                tot AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM h GROUP BY lang),
+                base AS (SELECT CAST(floor(n_chars/50.0) AS BIGINT) AS bucket,
+                         count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS p
+                         FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+                obs AS (SELECT h.lang, h.bucket, h.n / tot.t AS p_obs
+                        FROM h JOIN tot USING (lang)),
+                j AS (SELECT obs.lang,
+                       coalesce(obs.p_obs, 0) + 1e-6 AS p,
+                       coalesce(base.p, 0) + 1e-6 AS q
+                      FROM obs LEFT JOIN base USING (bucket))
+           SELECT lang, round(sum(p * ln(p/q)), 6) AS kl,
+                  round(sum((p - q) * ln(p/q)), 6) AS psi
+           FROM j GROUP BY lang""",
+
+      "chk_unique" ->
+        """SELECT user_id, '$.user_id.unique' AS constraint_id,
+           CAST(count(*) AS VARCHAR) AS offending
+           FROM events WHERE user_id IS NOT NULL
+           GROUP BY user_id HAVING count(*) > 1""",
+
+      "chk_referential" ->
+        """SELECT l_suppkey, '$.l_suppkey.referential' AS constraint_id,
+           CAST(l_suppkey AS VARCHAR) AS offending
+           FROM lineitem WHERE l_suppkey IS NOT NULL
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)""",
+
+      "chk_consistency" ->
+        """SELECT count(*) AS n_checked,
+           CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+           FROM documents""",
+
+      "dedup_exact" ->
+        """SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp,
+           count(*) AS n_docs, min(doc_id) AS keep_id
+           FROM documents GROUP BY 1""",
+
+      "dedup_minhash_sig" -> minhashSigSql,
+
+      "dedup_minhash_pairs" -> {
+        val bandJoins = (0 until 4).map { b =>
+          val (c1, c2) = (s"m${2 * b}", s"m${2 * b + 1}")
+          s"""SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+              ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
+        }.mkString("\nUNION\n")
+        s"WITH sig AS ($minhashSigSql)\n$bandJoins"
+      },
+
+      "dedup_simhash" -> simhashSql,
+
+      "dedup_jaccard_pairs" ->
+        s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+            sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+            inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+            p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+                         count(*) AS inter
+                  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2, 3, 4)
+            SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+            FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.1""",
+
+      "dedup_embed_pairs" ->
+        """SELECT x.vec_id AS a, y.vec_id AS b,
+           round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cos
+           FROM embeddings x JOIN embeddings y
+           ON x.label = y.label AND x.vec_id < y.vec_id
+           WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) >= 0.25""",
+
+      "txt_tokens" ->
+        s"SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS n_tokens FROM documents",
+
+      "txt_quality" ->
+        s"""SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+            round(ns / CAST(nw AS DOUBLE), 6) AS stopword_ratio,
+            round((length(text) - (nw - 1)) / CAST(nw AS DOUBLE), 6) AS avg_word_len,
+            round(least(ns * 2.0 / nw, 1.0) * 0.5 + least(nw / 100.0, 1.0) * 0.5, 6) AS quality
+            FROM (SELECT doc_id, text, len($wordsSql) AS nw,
+                  len(list_filter($wordsSql, x -> x IN (${inList(TextOps.Stopwords)}))) AS ns
+                  FROM documents)""",
+
+      "txt_langid" -> langidSql,
+
+      "txt_fingerprint" ->
+        s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform($wordsSql, x -> ${hSql("x")})),
+              (acc, x) -> (acc * 31 + x) % $P) AS rolling_fp
+            FROM documents""",
+
+      "ann_topk" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                s AS (SELECT q.qid, e.vec_id AS nid,
+                             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+                r AS (SELECT qid, nid, cos,
+                             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                      FROM s)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3""",
+
+      "ann_lsh_hist" ->
+        s"""SELECT bucket, count(*) AS n FROM
+            (SELECT ${lshBucketSql("embedding")} AS bucket FROM embeddings)
+            GROUP BY bucket""",
+
+      "mm_meta" ->
+        """SELECT doc_id AS key, CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(h % 624 + 16 AS INT) AS width,
+           CAST((h // 624) % 464 + 16 AS INT) AS height,
+           CASE WHEN h % 3 = 0 THEN 'png' WHEN h % 3 = 1 THEN 'jpeg' ELSE 'webp' END AS format
+           FROM (SELECT doc_id, text,
+                 ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents)""",
+
+      "mm_frames" ->
+        """SELECT doc_id AS key, CAST(i AS INT) AS frame_idx,
+           CAST(floor(i * strlen(text) / 4.0) AS BIGINT) AS byte_offset
+           FROM documents, unnest(generate_series(0, 3)) AS t(i)""",
+
+      "q1_pricing" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+           FROM lineitem GROUP BY 1, 2""",
+
+      "q3_top_orders" ->
+        """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2 ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10""",
+
+      "q_window_first_ship" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber FROM
+           (SELECT l_suppkey, l_orderkey, l_linenumber,
+                   row_number() OVER (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+            FROM lineitem) WHERE rn = 1""",
+
+      "q_events_daily" ->
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+           FROM events GROUP BY 1, 2"""
+    )
+  }
 }

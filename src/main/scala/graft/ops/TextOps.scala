@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, and document
+  * fingerprinting. All are pure Catalyst expressions (no UDFs), so they
+  * stay inside whole-stage codegen and scale scan-bound: one projection
+  * pass per partition, no shuffle.
+  *
+  * Hash portability: [[portableHash]] derives a 60-bit integer from the
+  * md5 hex digest, which any engine (including the DuckDB oracle) can
+  * reproduce — used by the dedup family so signatures are verifiable
+  * cross-engine.
+  */
+object TextOps {
+
+  /** 60-bit deterministic hash of a string: first 15 hex chars of md5.
+    * `conv` parses hex → decimal string → long (always < 2^60, so all
+    * downstream affine transforms stay overflow-free in 64-bit).
+    */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  val HashPrime = 1000000007L
+
+  /** [[portableHash]] reduced mod a 30-bit prime — safe operand for
+    * `(a*h+b) % p` MinHash transforms without 64-bit overflow.
+    */
+  def bucketHash(c: Column): Column = portableHash(c) % HashPrime
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def words(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** A small English stopword list shared with the oracle SQL. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+  /** Quality features: word count, stopword ratio, average word length,
+    * and a [0,1] quality score. Deterministic arithmetic only.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast("long")
+    val nStop = size(filter(w, x => x.isin(Stopwords: _*))).cast("long")
+    val avgLen = (length(col(textCol)) - (size(w) - 1)).cast("double") / size(w)
+    df.withColumn("n_words", nWords)
+      .withColumn("stopword_ratio", round(nStop.cast("double") / nWords, 6))
+      .withColumn("avg_word_len", round(avgLen, 6))
+      .withColumn("quality",
+        round(least(nStop.cast("double") / nWords * lit(2.0), lit(1.0)) * 0.5 +
+          least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5, 6))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic (shared with the oracle SQL).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Heuristic language ID: count marker-word hits per language; argmax
+    * with fixed priority order on ties; "und" (undetermined) when no
+    * marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val w = words(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(w, x => x.isin(markers: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Normalized content fingerprint: md5 of lowercased, space-collapsed,
+    * trimmed text — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), " +", " ").cast("binary"))
+
+  /** Rolling polynomial hash over words (order-sensitive, unlike the
+    * bag-of-words fingerprint): fold h = (h*31 + bucketHash(w)) mod p.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, x) => (acc * 31L + bucketHash(x)) % HashPrime)
+}
