@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: this sandbox runs in a memory cgroup whose
+  // page-charge path serializes under concurrent first-touch faults —
+  // a growing heap makes 32-thread runs kernel-bound (90% sys time).
+  // Pre-touching once at startup removes the contention entirely.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

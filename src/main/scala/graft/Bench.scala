@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Results are forced with
+  * the `noop` sink so the full plan executes (a bare count() would let
+  * Catalyst prune the projections being measured).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JVM + parquet-footer warmup so per-query numbers measure the plan,
+    // not first-touch class loading
+    try SparkEntry.queries.get("q1_pricing").foreach(f =>
+      f(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try {
+        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      } catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // headline: validated sequences/sec on the primary input shape
+    val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
+    val seqDf = gen.SequenceGen.generate(spark, seqRows)
+    val spec = spec_.docIndependentSpec
+    val vSec = time {
+      engine.ValidationEngine.annotate(seqDf, spec)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val seqThroughput = seqRows / vSec
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","seq_validation":{"rows":$seqRows,"sec":${f"$vSec%.3f"},"rows_per_sec":${f"$seqThroughput%.0f"},"cpus":$cpus}}""")
     spark.stop()
+  }
+
+  /** Shared spec instance for bench/scaling mains. */
+  private object spec_ {
+    lazy val docIndependentSpec: graft.spec.SchemaSpec =
+      graft.spec.SchemaParser.parse(Main.builtinSpec)
   }
 }

@@ -27,19 +27,27 @@ object ValidationEngine {
 
   def annotateWith(df: DataFrame, constraints: Seq[CompiledConstraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints compiled — empty spec?")
+    // Fast path: `valid` is a pure boolean conjunction (no allocation).
+    // The violations array — structs, filter, offending-value rendering —
+    // is only materialized for failing rows; If/CaseWhen branches evaluate
+    // lazily under codegen, so passing rows (the overwhelming majority at
+    // scale) never allocate.
+    val allPass: Column = constraints.map(_.pass).reduce(_ && _)
     val checks: Seq[Column] = constraints.map { k =>
       struct(
         lit(k.cid).as("constraint_id"),
         k.pass.as("pass"),
         when(!k.pass, k.offending.cast("string")).as("offending"))
     }
-    df.withColumn(ViolationsCol,
-        filter(array(checks: _*), v => !v.getField("pass")))
+    val emptyViolations = typedlit(Array.empty[(String, String)])
+      .cast("array<struct<constraint_id:string,offending:string>>")
+    val violationsForFailing = transform(
+      filter(array(checks: _*), v => !v.getField("pass")),
+      v => struct(v.getField("constraint_id").as("constraint_id"),
+                  v.getField("offending").as("offending")))
+    df.withColumn(PassCol, allPass)
       .withColumn(ViolationsCol,
-        transform(col(ViolationsCol), v =>
-          struct(v.getField("constraint_id").as("constraint_id"),
-                 v.getField("offending").as("offending"))))
-      .withColumn(PassCol, size(col(ViolationsCol)) === 0)
+        when(col(PassCol), emptyViolations).otherwise(violationsForFailing))
   }
 
   /** The violations Dataset: one row per (row key, failed constraint,

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.SparkSessionTestWrapper
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the cat sat on the mat and looked at the dog"),
+    (1L, "the cat sat on the mat and looked at the dog"), // exact dup of 0
+    (2L, "THE cat  sat on the mat and looked at the dog"), // normalized dup of 0
+    (3L, "a completely different document about spark queries and shuffles"),
+    (4L, "the cat sat on the mat and looked at the bird"), // near-dup of 0
+    (5L, "el la de y es el la de y es"),
+    (6L, "xx yy")
+  ).toDF("doc_id", "text")
+
+  test("portableHash matches an independent md5-based computation") {
+    val got = docs.select(TextOps.portableHash(col("text"))).as[Long].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("the cat sat on the mat and looked at the dog".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got == java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("exact dedup groups normalized duplicates, keeps min id") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroup = groups.find(_.getAs[Long]("n_docs") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    val drops = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops == Set((1L, 0L), (2L, 0L)))
+  }
+
+  test("minhash: identical docs identical sigs; near-dups agree on some hashes") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toVector).toMap
+    assert(sig(0L) == sig(1L))
+    val agree04 = sig(0L).zip(sig(4L)).count { case (a, b) => a == b }
+    val agree03 = sig(0L).zip(sig(3L)).count { case (a, b) => a == b }
+    assert(agree04 > agree03, s"near-dup agreement $agree04 should beat unrelated $agree03")
+  }
+
+  test("minhash LSH candidate pairs include the exact dup pair") {
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(sig, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 6L)))
+  }
+
+  test("simhash: hamming distance orders near-dup < unrelated") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(4L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 4L)) > 0.5)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("quality features and language id") {
+    val q = TextOps.qualityFeatures(docs, "text")
+      .where(col("doc_id") === 0).collect()(0)
+    assert(q.getAs[Long]("n_words") == 11L)
+    assert(q.getAs[Double]("stopword_ratio") > 0.3) // the/on/the/and/at/the
+    val langs = docs.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(0L) == "en")
+    assert(langs(5L) == "es")
+    assert(langs(6L) == "und")
+  }
+
+  test("cosine: orthogonal=0, identical=1, antiparallel=-1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 2.0f)),
+      (2L, Array(3.0f, 0.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        Similarity.cosine(col("a.v"), col("b.v")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(cos((0L, 1L))) < 1e-12)
+    assert(math.abs(cos((0L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(cos((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.8f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 3L)) // by cosine: 1 (0.994) then 3 (0.936)
+  }
+
+  test("lshTopK agrees with brute force for same-bucket neighbors") {
+    val planes = Similarity.hyperplanes(6, 2)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array((math.cos(i * 0.05) + 2).toFloat, (math.sin(i * 0.05) + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3)
+      .collect().map(_.getLong(1)).toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3, planes)
+      .collect().map(_.getLong(1)).toSet
+    // tight cluster of directions → all in one bucket → identical top-k
+    assert(lsh == brute)
+  }
+
+  test("multimodal stub decode is deterministic and batch-shaped") {
+    val meta = Multimodal.extractMeta(docs, "doc_id", "text").collect()
+      .map(m => m.key -> m).toMap
+    assert(meta.size == 7)
+    assert(meta(0L) == meta(1L).copy(key = 0L)) // same bytes → same meta
+    assert(meta.values.forall(m => m.width >= 16 && m.width < 640))
+    assert(meta.values.forall(m => m.height >= 16 && m.height < 480))
+    assert(meta.values.forall(m => Set("png", "jpeg", "webp")(m.format)))
+    assert(meta(6L).n_bytes == 5L)
+    val frames = Multimodal.sampleFrameOffsets(docs, "doc_id", "text", 4)
+      .where(col("key") === 6).orderBy("frame_idx").collect()
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 1L, 2L, 3L)) // floor(i*5/4)
+  }
+
+  test("rolling fingerprint is order-sensitive, bag fingerprint is not") {
+    val d2 = Seq((0L, "a b c"), (1L, "c b a")).toDF("doc_id", "text")
+    val r = d2.select(TextOps.rollingFingerprint(col("text"))).as[Long].collect()
+    assert(r(0) != r(1))
+  }
+}
