@@ -56,11 +56,13 @@ object Dedup {
     * expressions — no explode, no shuffle.
     */
   def minhashSignature(df: DataFrame, keyCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val sh = shingles(col(textCol))
+    // hash each shingle ONCE (md5 is the expensive part), then apply the
+    // k affine transforms to the precomputed hash array
+    val hs = transform(shingles(col(textCol)), s => bucketHash(s))
     val cols = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(sh, s => (bucketHash(s) * a + b) % HashPrime)).as(s"m$i")
+      array_min(transform(col("_hs"), h => (h * a + b) % HashPrime)).as(s"m$i")
     }
-    df.select(col(keyCol) +: cols: _*)
+    df.withColumn("_hs", hs).select(col(keyCol) +: cols: _*)
   }
 
   /** LSH candidate pairs from minhash signatures: band the signature
@@ -68,8 +70,11 @@ object Dedup {
     * dedup. The join shuffles on band values only — collision buckets,
     * not the corpus cross product.
     */
-  def minhashCandidatePairs(sig: DataFrame, keyCol: String, k: Int = 8,
+  def minhashCandidatePairs(sig0: DataFrame, keyCol: String, k: Int = 8,
       rowsPerBand: Int = 2): DataFrame = {
+    // materialize signatures once — they are tiny (k+1 longs per doc) and
+    // each band join would otherwise recompute the md5 pass over the corpus
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until k / rowsPerBand).map { b =>
       (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
     }
