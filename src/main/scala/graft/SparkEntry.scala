@@ -1,10 +1,12 @@
 package graft
 
+import graft.compile.SpecCompiler
 import graft.engine._
 import graft.ops._
 import graft.spec.SchemaParser
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
 
 /** Driver contract: one entry per implemented operator (SURVEY.md §2 +
   * the training-pipeline operator families), each with ANSI-SQL oracle
@@ -34,10 +36,96 @@ object SparkEntry {
     }"""
   private lazy val docSpec = SchemaParser.parse(DocSpecJson)
 
+  /** Composition/object keywords over documents: union type (D3),
+    * disallow-subschema (D6), extends (D7), divisibleBy int + decimal
+    * (N3), patternProperties (O3), additionalProperties-schema (O4),
+    * schema-form dependencies (O6).
+    */
+  val DocSpec2Json: String =
+    """{
+      "type": "object",
+      "properties": {
+        "doc_id":  {"type": "integer", "required": true, "divisibleBy": 7},
+        "n_chars": {"type": [{"minimum": 100, "maximum": 200}, {"minimum": 400}],
+                    "extends": {"divisibleBy": 3.5}},
+        "lang":    {"type": "string", "disallow": {"enum": ["zh"]}},
+        "text":    {"type": "string", "extends": {"maxLength": 400}}
+      },
+      "patternProperties": {"^n_": {"maximum": 300}},
+      "additionalProperties": {"pattern": "^src[0-4]$"},
+      "dependencies": {"lang": {"properties": {"source": {"pattern": "^src[0-7]"}}}}
+    }"""
+  private lazy val docSpec2 = SchemaParser.parse(DocSpec2Json)
+
+  /** Array keywords (A1-A4) over derived embedding arrays. Thresholds
+    * are exact binary fractions so float-vs-double comparison order can
+    * never flip a verdict cross-engine.
+    */
+  val ArraySpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "emb2": {"type": "array", "minItems": 60, "maxItems": 63,
+                 "items": {"type": "number", "minimum": -0.375, "maximum": 0.375}},
+        "ints": {"type": "array", "uniqueItems": true}
+      }
+    }"""
+  private lazy val arraySpec = SchemaParser.parse(ArraySpecJson)
+
+  /** Tuple items + additionalItems (A5), both schema and `false` forms. */
+  val TupleSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "tup":  {"type": "array",
+                 "items": [{"type": "number", "minimum": 0}, {"type": "number", "minimum": 0}],
+                 "additionalItems": {"type": "number", "maximum": 0.25}},
+        "tup2": {"type": "array",
+                 "items": [{"type": "number"}, {"type": "number"}],
+                 "additionalItems": false}
+      }
+    }"""
+  private lazy val tupleSpec = SchemaParser.parse(TupleSpecJson)
+
+  /** Dynamic integer-ness on a double column (N4), exclusive bounds
+    * (N1/N2), enum on a hot table (D5), type-form disallow (D6),
+    * property-form dependencies (O5; `session_id` is absent from the
+    * physical schema, so the dependency can never be satisfied).
+    */
+  val EventsSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "value":      {"type": "integer"},
+        "user_id":    {"type": "integer", "minimum": 0, "exclusiveMinimum": true,
+                       "maximum": 149, "exclusiveMaximum": true},
+        "event_type": {"type": "string", "enum": ["click", "view", "purchase", "signup"],
+                       "disallow": "null"}
+      },
+      "dependencies": {"value": ["session_id"]}
+    }"""
+  private lazy val eventsSpec = SchemaParser.parse(EventsSpecJson)
+
+  /** Map-specialized object validation (O7) over `from_json(props)`:
+    * required + bounds via map lookup, patternProperties and
+    * additionalProperties as folds over map entries.
+    */
+  val MapSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {"k": {"type": "integer", "required": true, "minimum": 10}},
+      "patternProperties": {"^k": {"maximum": 90}},
+      "additionalProperties": false
+    }"""
+  private lazy val mapSpec = SchemaParser.parse(MapSpecJson)
+
   private val P = TextOps.HashPrime
+  /** DuckDB rendering of TextOps.portableHash (full 60-bit). */
+  private def hFullSql(e: String): String =
+    s"(('0x' || substr(md5($e),1,15))::BIGINT)"
   /** DuckDB rendering of TextOps.bucketHash. */
   private def hSql(e: String): String =
-    s"((('0x' || substr(md5($e),1,15))::BIGINT) % $P)"
+    s"(${hFullSql(e)} % $P)"
   private val wordsSql = "string_split(text, ' ')"
   private val shinglesSql =
     "(CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(generate_series(1, len(w)-2), " +
@@ -86,6 +174,42 @@ object SparkEntry {
     "val_verdicts_by_source" -> ((s, dir) =>
       ValidationEngine.partitionVerdicts(read(s, dir, "documents"), docSpec, Seq("source"))),
 
+    "val_violations2" -> ((s, dir) =>
+      ValidationEngine.violations(read(s, dir, "documents"), docSpec2, Seq("doc_id"))),
+
+    // A1-A4 over derived arrays (float→string rendering is not portable
+    // across engines, so offending values are dropped; the pass
+    // expressions — the Catalyst paths under test — are fully exercised)
+    "val_array_keywords" -> ((s, dir) => {
+      val df = read(s, dir, "embeddings").select(
+        col("vec_id"),
+        slice(col("embedding"), lit(1), (col("vec_id") % 10 + 58).cast("int")).as("emb2"),
+        transform(slice(col("embedding"), lit(1), (col("vec_id") % 4 + 2).cast("int")),
+          x => floor(x.cast("double") * 100).cast("int")).as("ints"))
+      ValidationEngine.violations(df, arraySpec, Seq("vec_id")).drop("offending")
+    }),
+
+    "val_tuple_items" -> ((s, dir) => {
+      val df = read(s, dir, "embeddings").select(
+        col("vec_id"),
+        slice(col("embedding"), 1, 4).as("tup"),
+        slice(col("embedding"), 1, 3).as("tup2"))
+      ValidationEngine.violations(df, tupleSpec, Seq("vec_id")).drop("offending")
+    }),
+
+    "val_events_spec" -> ((s, dir) =>
+      ValidationEngine.violations(read(s, dir, "events"), eventsSpec, Seq("event_id"))
+        .drop("offending")),
+
+    "val_map_props" -> ((s, dir) => {
+      val mt = MapType(StringType, LongType)
+      val df = read(s, dir, "events")
+        .select(col("event_id"), from_json(col("props"), mt).as("m"))
+      val cs = SpecCompiler.compileColumn(mapSpec, mt, col("m"), "$")
+      ValidationEngine.violationsWith(
+        ValidationEngine.annotateWith(df, cs), Seq("event_id"))
+    }),
+
     // === per-column stats (single-pass profile) ===
     "val_profile" -> ((s, dir) =>
       TableProfiler.profile(read(s, dir, "documents"))
@@ -133,8 +257,7 @@ object SparkEntry {
         Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text"), "doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
-      read(s, dir, "documents").select(col("doc_id"),
-        Dedup.simhash(col("text")).as("simhash"))),
+      Dedup.simhashDf(read(s, dir, "documents"), "doc_id", "text")),
 
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text", 0.1)),
@@ -241,11 +364,13 @@ object SparkEntry {
     }
 
     val simhashSql = {
-      val terms = (0 until 16).map { j =>
-        s"(CASE WHEN list_sum(list_transform(w, x -> CASE WHEN ((${hSql("x")} >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      // hash once into hs (mirrors the engine's projected _hs column)
+      val terms = (0 until Dedup.SimhashBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"""SELECT doc_id, CAST($terms AS BIGINT) AS simhash
-          FROM (SELECT doc_id, $wordsSql AS w FROM documents)"""
+          FROM (SELECT doc_id, list_transform($wordsSql, x -> ${hFullSql("x")}) AS hs
+                FROM documents)"""
     }
 
     val langidSql = {
@@ -288,6 +413,9 @@ object SparkEntry {
         """SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS n
            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2""",
 
+      // every group sees every baseline bucket (groups × baseline domain),
+      // full-outer so observed-only buckets keep their p-mass — mirrors
+      // Checks.driftByGroup exactly
       "val_drift" ->
         """WITH h AS (SELECT lang, CAST(floor(n_chars/50.0) AS BIGINT) AS bucket, count(*) AS n
                       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1,2),
@@ -297,13 +425,88 @@ object SparkEntry {
                          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
                 obs AS (SELECT h.lang, h.bucket, h.n / tot.t AS p_obs
                         FROM h JOIN tot USING (lang)),
-                j AS (SELECT obs.lang,
+                dom AS (SELECT l.lang, b.bucket, b.p AS p_base
+                        FROM (SELECT DISTINCT lang FROM h) l CROSS JOIN base b),
+                j AS (SELECT coalesce(dom.lang, obs.lang) AS lang,
                        coalesce(obs.p_obs, 0) + 1e-6 AS p,
-                       coalesce(base.p, 0) + 1e-6 AS q
-                      FROM obs LEFT JOIN base USING (bucket))
+                       coalesce(dom.p_base, 0) + 1e-6 AS q
+                      FROM dom FULL OUTER JOIN obs
+                        ON dom.lang = obs.lang AND dom.bucket = obs.bucket)
            SELECT lang, round(sum(p * ln(p/q)), 6) AS kl,
                   round(sum((p - q) * ln(p/q)), 6) AS psi
            FROM j GROUP BY lang""",
+
+      "val_violations2" -> Seq(
+        ("$.doc_id.required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)"),
+        ("$.doc_id.divisibleBy", "doc_id IS NOT NULL AND doc_id % 7 <> 0",
+          "CAST(doc_id AS VARCHAR)"),
+        ("$.n_chars.type",
+          "n_chars IS NOT NULL AND NOT((n_chars >= 100 AND n_chars <= 200) OR n_chars >= 400)",
+          "CAST(n_chars AS VARCHAR)"),
+        ("$.n_chars.divisibleBy",
+          "n_chars IS NOT NULL AND (CAST(n_chars AS DECIMAL(38,3)) % CAST(3.5 AS DECIMAL(38,3))) <> 0",
+          "CAST(n_chars AS VARCHAR)"),
+        ("$.lang.disallow", "lang IS NOT NULL AND lang = 'zh'", "lang"),
+        ("$.text.maxLength", "text IS NOT NULL AND length(text) > 400", "text"),
+        ("$.n_chars.maximum", "n_chars IS NOT NULL AND n_chars > 300",
+          "CAST(n_chars AS VARCHAR)"),
+        ("$.source.pattern",
+          "source IS NOT NULL AND NOT regexp_matches(source, '^src[0-4]$')", "source"),
+        ("$.dependencies",
+          "lang IS NOT NULL AND NOT (source IS NULL OR regexp_matches(source, '^src[0-7]'))",
+          "lang"))
+        .map { case (cid, where, off) =>
+          s"SELECT doc_id, '$cid' AS constraint_id, $off AS offending FROM documents WHERE $where"
+        }.mkString("\nUNION ALL\n"),
+
+      "val_array_keywords" ->
+        """WITH t AS (SELECT vec_id,
+             embedding[1:(CAST(vec_id % 10 AS INT) + 58)] AS emb2,
+             list_transform(embedding[1:(CAST(vec_id % 4 AS INT) + 2)],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS INT)) AS ints
+           FROM embeddings)
+           SELECT vec_id, '$.emb2.minItems' AS constraint_id FROM t WHERE len(emb2) < 60
+           UNION ALL SELECT vec_id, '$.emb2.maxItems' FROM t WHERE len(emb2) > 63
+           UNION ALL SELECT vec_id, '$.emb2[*].type' FROM t
+             WHERE len(list_filter(emb2, x -> x IS NULL)) > 0
+           UNION ALL SELECT vec_id, '$.emb2[*].minimum' FROM t
+             WHERE len(list_filter(emb2, x -> x IS NOT NULL AND CAST(x AS DOUBLE) < -0.375)) > 0
+           UNION ALL SELECT vec_id, '$.emb2[*].maximum' FROM t
+             WHERE len(list_filter(emb2, x -> x IS NOT NULL AND CAST(x AS DOUBLE) > 0.375)) > 0
+           UNION ALL SELECT vec_id, '$.ints.uniqueItems' FROM t
+             WHERE len(list_distinct(ints)) <> len(ints)""",
+
+      "val_tuple_items" ->
+        """WITH t AS (SELECT vec_id, embedding[1:4] AS tup, embedding[1:3] AS tup2
+                      FROM embeddings)
+           SELECT vec_id, '$.tup[0].minimum' AS constraint_id FROM t
+             WHERE len(tup) > 0 AND tup[1] IS NOT NULL AND CAST(tup[1] AS DOUBLE) < 0
+           UNION ALL SELECT vec_id, '$.tup[1].minimum' FROM t
+             WHERE len(tup) > 1 AND tup[2] IS NOT NULL AND CAST(tup[2] AS DOUBLE) < 0
+           UNION ALL SELECT vec_id, '$.tup[*].maximum' FROM t
+             WHERE len(list_filter(tup[3:], x -> x IS NOT NULL AND CAST(x AS DOUBLE) > 0.25)) > 0
+           UNION ALL SELECT vec_id, '$.tup2.additionalItems' FROM t WHERE len(tup2) > 2""",
+
+      "val_events_spec" ->
+        """SELECT event_id, '$.value.type' AS constraint_id FROM events
+             WHERE value IS NOT NULL AND value <> floor(value)
+           UNION ALL SELECT event_id, '$.user_id.minimum' FROM events
+             WHERE user_id IS NOT NULL AND user_id <= 0
+           UNION ALL SELECT event_id, '$.user_id.maximum' FROM events
+             WHERE user_id IS NOT NULL AND user_id >= 149
+           UNION ALL SELECT event_id, '$.event_type.enum' FROM events
+             WHERE event_type IS NOT NULL
+               AND event_type NOT IN ('click','view','purchase','signup')
+           UNION ALL SELECT event_id, '$.dependencies' FROM events
+             WHERE value IS NOT NULL""",
+
+      "val_map_props" ->
+        """WITH t AS (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                      FROM events)
+           SELECT event_id, '$.k.minimum' AS constraint_id,
+                  CAST(k AS VARCHAR) AS offending FROM t WHERE k < 10
+           UNION ALL SELECT event_id, '$.<pattern:^k>.maximum',
+                  '[{"key":"k","value":' || k || '}]' FROM t WHERE k > 90""",
 
       "chk_unique" ->
         """SELECT user_id, '$.user_id.unique' AS constraint_id,

@@ -263,40 +263,75 @@ object SpecCompiler {
       case None => Nil
       case Some(Left(one)) =>
         // one schema for all elements: each element-level constraint
-        // becomes a `forall`; offending values are the failing elements
-        valueGens(one, et, s"$path[*]").map { g =>
+        // becomes a `forall`; offending values are the failing elements.
+        // A null ELEMENT is a JSON null VALUE (JNull), not an absent
+        // property: under a single primitive-typed item schema it fails
+        // the type check (Validator.hs:52-75 mismatch) and skips the
+        // keyword checks, exactly like the oracle. Under `any`/`null`
+        // item schemas it passes (oracle: (SAny, JNull) → no errors);
+        // union-typed item schemas keep the engine's branch semantics
+        // (documented residual divergence, SURVEY.md §7.4).
+        val typeGen =
+          if (rejectsNullElement(one))
+            Seq(Gen(s"$path[*].type",
+              c => forall(c, x => x.isNotNull),
+              _ => lit("null")))
+          else Nil
+        typeGen ++ valueGens(one, et, s"$path[*]").map { g =>
           Gen(g.cid,
-            c => forall(c, x => notNullPass(g.pass(x))),
-            c => to_json(filter(c, x => !notNullPass(g.pass(x)))))
+            c => forall(c, x => x.isNull || notNullPass(g.pass(x))),
+            c => to_json(filter(c, x => x.isNotNull && !notNullPass(g.pass(x)))))
         }
       case Some(Right(tuple)) =>
         val positional = tuple.zipWithIndex.flatMap { case (sub, i) =>
-          valueGens(sub, et, s"$path[$i]").map { g =>
-            // element beyond the array's end is undefined → passes
-            // (positions ≥ minItems are optional, CodeGen.hs:445-452)
+          // element beyond the array's end is undefined → passes
+          // (positions ≥ minItems are optional, CodeGen.hs:445-452);
+          // a null element at position i is JNull (see items above)
+          def e(c: Column): Column = element_at(c, i + 1)
+          val typeGen =
+            if (rejectsNullElement(sub))
+              Seq(Gen(s"$path[$i].type",
+                c => size(c) <= i || e(c).isNotNull,
+                _ => lit("null")))
+            else Nil
+          typeGen ++ valueGens(sub, et, s"$path[$i]").map { g =>
             Gen(g.cid,
-              c => size(c) <= i || notNullPass(g.pass(element_at(c, i + 1))),
-              c => element_at(c, i + 1).cast(StringType))
+              c => size(c) <= i || e(c).isNull || notNullPass(g.pass(e(c))),
+              c => e(c).cast(StringType))
           }
         }
         val k = tuple.length
+        def tail(c: Column): Column = slice(c, lit(k + 1), greatest(size(c) - k, lit(0)))
         val extra: Seq[Gen] = spec.additionalItems match {
           case Left(true) => Nil
           case Left(false) =>
             Seq(Gen(s"$path.additionalItems", c => size(c) <= k,
-              c => to_json(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))))))
+              c => to_json(tail(c))))
           case Right(sub) =>
-            valueGens(sub, et, s"$path[*]").map { g =>
+            val typeGen =
+              if (rejectsNullElement(sub))
+                Seq(Gen(s"$path[*].type",
+                  c => forall(tail(c), x => x.isNotNull),
+                  _ => lit("null")))
+              else Nil
+            typeGen ++ valueGens(sub, et, s"$path[*]").map { g =>
               Gen(g.cid,
-                c => forall(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))),
-                  x => notNullPass(g.pass(x))),
-                c => to_json(filter(slice(c, lit(k + 1), greatest(size(c) - k, lit(0))),
-                  x => !notNullPass(g.pass(x)))))
+                c => forall(tail(c), x => x.isNull || notNullPass(g.pass(x))),
+                c => to_json(filter(tail(c), x => x.isNotNull && !notNullPass(g.pass(x)))))
             }
         }
         positional ++ extra
     }
     minI ++ maxI ++ uniq ++ itemGens
+  }
+
+  /** True when an element-level schema has a single primitive type arm
+    * that a JSON null value cannot satisfy — the case where the oracle
+    * reports a `[*].type` mismatch for null elements.
+    */
+  private def rejectsNullElement(sub: SchemaSpec): Boolean = sub.types match {
+    case Seq(Left(t)) => t != SchemaType.SAny && t != SchemaType.SNull
+    case _            => false
   }
 
   // --- objects over fixed StructType (Validator.hs:135-162) ---
@@ -445,7 +480,25 @@ object SpecCompiler {
         }
     }
 
-    propGens ++ patGens ++ addGens
+    // dependencies over maps: key presence is TRUE presence (unlike the
+    // struct path's null/absent collapse) — matches Validator.hs:180-186
+    val depGens = spec.dependencies.toSeq.sortBy(_._1).flatMap { case (name, dep) =>
+      dep match {
+        case Left(requiredProps) =>
+          Seq(Gen(s"$path.dependencies",
+            c => !map_contains_key(c, name) ||
+              requiredProps.map(p => map_contains_key(c, p))
+                .reduceOption(_ && _).getOrElse(TrueC),
+            c => element_at(c, name).cast(StringType)))
+        case Right(sub) =>
+          val subPass = conjunction(sub, mt, path)
+          Seq(Gen(s"$path.dependencies",
+            c => !map_contains_key(c, name) || subPass(c),
+            c => element_at(c, name).cast(StringType)))
+      }
+    }
+
+    propGens ++ patGens ++ addGens ++ depGens
   }
 
   // --- enum / disallow helpers ---
@@ -471,21 +524,49 @@ object SpecCompiler {
       case _           => Nil
     }
     dt match {
-      case _: ArrayType =>
-        // deep structural equality against array literals
-        val arrays = allowed.collect { case JArray(xs) =>
-          typedlit(xs.collect {
-            case JInt(i)   => i.toLong
-            case JLong(l)  => l
-            case JDouble(x) => x.toLong
-            case JDecimal(x) => x.toLong
-          })
-        }
-        c => arrays.map(a => c.cast(ArrayType(LongType)) === a)
-          .reduceOption(_ || _).getOrElse(FalseC)
+      case at: ArrayType =>
+        // deep structural equality against element-typed array literals
+        // (matches the oracle's jsonEq numeric-value equality). Enum
+        // values not representable in the physical element type can
+        // never match and are skipped; element types with no portable
+        // literal form (struct/map/array) are a documented
+        // unsupported-spec error — never silent truncation.
+        val arrays = allowed.collect { case JArray(xs) => arrayEnumLit(xs, at.elementType) }
+          .flatten
+        c => arrays.map(a => c === a).reduceOption(_ || _).getOrElse(FalseC)
       case _ =>
         val vs = lits
         c => if (vs.isEmpty) FalseC else c.isin(vs: _*)
+    }
+  }
+
+  /** Typed literal for one enum array value against the physical element
+    * type; None when the value cannot equal any array of that type.
+    */
+  private def arrayEnumLit(xs: Seq[JValue], et: DataType): Option[Column] = {
+    def num(v: JValue): Option[BigDecimal] = v match {
+      case JInt(i)     => Some(BigDecimal(i))
+      case JLong(l)    => Some(BigDecimal(l))
+      case JDecimal(d) => Some(d)
+      case JDouble(d)  => Some(BigDecimal(d))
+      case _           => None
+    }
+    et match {
+      case t if isIntegral(t) =>
+        val ls = xs.map(num(_).filter(n => n.isWhole && n.isValidLong).map(_.toLong))
+        if (ls.forall(_.isDefined)) Some(typedlit(ls.map(_.get))) else None
+      case t if isNumeric(t) =>
+        val ds = xs.map(num(_).map(_.toDouble))
+        if (ds.forall(_.isDefined)) Some(typedlit(ds.map(_.get))) else None
+      case StringType =>
+        val ss = xs.map { case JString(s) => Some(s); case _ => None }
+        if (ss.forall(_.isDefined)) Some(typedlit(ss.map(_.get))) else None
+      case BooleanType =>
+        val bs = xs.map { case JBool(b) => Some(b); case _ => None }
+        if (bs.forall(_.isDefined)) Some(typedlit(bs.map(_.get))) else None
+      case other =>
+        throw new IllegalArgumentException(
+          s"enum over array<${other.simpleString}> is not supported by the compiler")
     }
   }
 

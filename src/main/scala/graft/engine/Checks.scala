@@ -12,27 +12,22 @@ object Checks {
 
   /** Exact key-uniqueness violations, skew-safe at 10^12 rows.
     *
-    * Two-phase salted aggregation: phase 1 pre-aggregates on
-    * `(xxhash64(key) % salt, key)` so a pathologically hot key (or a hot
-    * hash partition) is split across `salt` reducers and combined
-    * map-side; phase 2 merges the per-salt counts. Emits one violation
-    * row per duplicated key with its multiplicity — never
+    * One hash aggregation: the skew defense is Spark's map-side PARTIAL
+    * aggregation — every task pre-counts its local occurrences of each
+    * key, so a pathologically hot key reaches its reducer as at most
+    * one pre-counted row per upstream task, never as raw rows. (A
+    * key-derived "salt" adds nothing: any pure function of the key sends
+    * all duplicates of that key to the same group anyway.) Emits one
+    * violation row per duplicated key with its multiplicity — never
     * `dropDuplicates` (which would lose the violation rows).
     * NULL keys are `required`-territory, not uniqueness, and are skipped.
     */
-  def uniquenessViolations(df: DataFrame, keyCol: String, salt: Int = 64): DataFrame = {
-    val k = col(keyCol)
-    df.where(k.isNotNull)
-      .groupBy(pmod(xxhash64(k), lit(salt)).as("_salt"), k.as(keyCol))
-      .agg(count(lit(1)).as("_c"))
-      .groupBy(col(keyCol))
-      .agg(sum(col("_c")).as("multiplicity"))
-      .where(col("multiplicity") > 1)
+  def uniquenessViolations(df: DataFrame, keyCol: String): DataFrame =
+    duplicateKeys(df, keyCol)
       .select(
         col(keyCol),
         lit(s"$$.$keyCol.unique").as("constraint_id"),
         col("multiplicity").cast("string").as("offending"))
-  }
 
   /** Keys present with multiplicity, for partition verdict rollups. */
   def duplicateKeys(df: DataFrame, keyCol: String): DataFrame =
@@ -92,17 +87,26 @@ object Checks {
       sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
 
-  /** Per-group drift vs one shared baseline: returns `(group…, kl, psi)`. */
+  /** Per-group drift vs one shared baseline: returns `(group…, kl, psi)`.
+    *
+    * Every group must see EVERY baseline bucket — including buckets the
+    * group has vanished from entirely (their q-mass is exactly the drift
+    * signal). So the (tiny) baseline is expanded across the observed
+    * group domain first, then full-outer joined with the observed
+    * distribution so observed-only buckets keep their p-mass too.
+    * Consistent with single-group [[drift]].
+    */
   def driftByGroup(observed: DataFrame, groupCols: Seq[String],
       baseline: DataFrame, eps: Double = 1e-6): DataFrame = {
     val g = groupCols.map(col)
     val totals = observed.groupBy(g: _*).agg(sum(col("n")).cast("double").as("_t"))
-    observed
+    val obsP = observed
       .join(totals, groupCols)
       .select(g ++ Seq(col("bucket"), (col("n") / col("_t")).as("p_obs")): _*)
-      .join(broadcast(baseline.select(col("bucket"), col("p").as("p_base"))),
-        Seq("bucket"), "full_outer")
-      .where(g.head.isNotNull) // full-outer fills only bucket gaps per group
+    val domain = observed.select(g: _*).distinct()
+      .crossJoin(broadcast(baseline.select(col("bucket"), col("p").as("p_base"))))
+    domain
+      .join(obsP, groupCols :+ "bucket", "full_outer")
       .select(g ++ Seq(
         (coalesce(col("p_obs"), lit(0.0)) + eps).as("p"),
         (coalesce(col("p_base"), lit(0.0)) + eps).as("q")): _*)

@@ -54,16 +54,20 @@ object ValidationEngine {
     * offending value) — the reference's `[ValidationError]` per value,
     * exploded relationally.
     */
-  def violations(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame = {
-    val ann = annotate(df, spec)
+  def violations(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame =
+    violationsWith(annotate(df, spec), keyCols)
+
+  /** Violations from an already-annotated frame (or any custom
+    * constraint set via [[annotateWith]]).
+    */
+  def violationsWith(annotated: DataFrame, keyCols: Seq[String]): DataFrame =
     // filter before explode: passing rows (the overwhelming majority)
     // never reach the generator
-    ann.where(!col(PassCol))
+    annotated.where(!col(PassCol))
       .select(keyCols.map(col) :+ explode(col(ViolationsCol)).as("v"): _*)
       .select(keyCols.map(col) :+
         col("v.constraint_id").as("constraint_id") :+
         col("v.offending").as("offending"): _*)
-  }
 
   /** Per-row verdicts: key columns + `valid`. */
   def verdicts(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame =

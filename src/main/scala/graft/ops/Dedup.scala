@@ -65,56 +65,110 @@ object Dedup {
     df.withColumn("_hs", hs).select(col(keyCol) +: cols: _*)
   }
 
-  /** LSH candidate pairs from minhash signatures: band the signature
-    * (rows-per-band=2), self-join per band on the banded values, union,
-    * dedup. The join shuffles on band values only — collision buckets,
-    * not the corpus cross product.
+  /** All ordered (asc) within-bucket pairs of a sorted array column:
+    * `[(x_i, x_j) | i < j]` as an array of `struct(l, r)`. Pure array
+    * expressions, evaluated once per bucket row.
     */
-  def minhashCandidatePairs(sig0: DataFrame, keyCol: String, k: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    // materialize signatures once — they are tiny (k+1 longs per doc) and
-    // each band join would otherwise recompute the md5 pass over the corpus
-    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until k / rowsPerBand).map { b =>
-      (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}")
-    }
-    val pairs = bands.map { bandCols =>
-      val l = sig.select(col(keyCol).as("a"), struct(bandCols.map(col): _*).as("band"))
-      val r = sig.select(col(keyCol).as("b"), struct(bandCols.map(col): _*).as("band"))
-      l.join(r, Seq("band")).where(col("a") < col("b")).select(col("a"), col("b"))
-    }
-    pairs.reduce(_ unionAll _).distinct()
+  private def sortedPairs(items: Column): Column = {
+    val sorted = array_sort(items)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted) - i - 1),
+        y => struct(x.as("l"), y.as("r")))))
   }
 
-  /** SimHash (default 16 bits, portable to the oracle): for each bit j,
-    * sum ±1 over word hashes' j-th bit; bit j of the result is the sign.
+  /** LSH candidate pairs from minhash signatures: band the signature
+    * (rows-per-band=2), group keys by (band index, banded values), emit
+    * within-bucket pairs, dedup across bands.
+    *
+    * One pass over the signatures (the corpus-side md5 work runs ONCE —
+    * no self-join, no persist) and one shuffle keyed by band value:
+    * collision buckets only, never the corpus cross product. `maxBucket`
+    * caps degenerate buckets (e.g. an all-identical boilerplate band at
+    * corpus scale) so no single bucket goes quadratic; capped buckets
+    * are dropped — at 10^12 docs a bucket past the cap is boilerplate
+    * whose pairs belong to exact dedup, not near-dup.
     */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val hs = transform(words(text), w => bucketHash(w))
+  def minhashCandidatePairs(sig: DataFrame, keyCol: String, k: Int = 8,
+      rowsPerBand: Int = 2, maxBucket: Int = 100000): DataFrame = {
+    val nBands = k / rowsPerBand
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("idx"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").as(s"s$r")): _*).as("sig"))
+    }: _*)
+    sig
+      .select(col(keyCol).as("id"), explode(bandArr).as("bd"))
+      .groupBy(col("bd.idx").as("band_idx"), col("bd.sig").as("band"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.l").as("a"), col("p.r").as("b"))
+      .distinct()
+  }
+
+  /** SimHash bits: per bit j, sum ±1 over the j-th bit of each word's
+    * 60-bit [[portableHash]]; bit j of the result is the vote's sign.
+    * 60 bits (the full md5-derived hash) keeps birthday collisions
+    * negligible at 10^12 docs, where 16 bits would alias massively.
+    */
+  val SimhashBits = 60
+
+  /** SimHash over a projected word-hash column: hash every word ONCE
+    * into `_hs` (higher-order functions get no codegen CSE, so inlining
+    * the hash array into each bit expression would recompute md5 per
+    * bit), then fold the per-bit votes over the precomputed longs.
+    */
+  def simhashDf(df: DataFrame, keyCol: String, textCol: String,
+      bits: Int = SimhashBits): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
+    df.withColumn("_hs", transform(words(col(textCol)), w => portableHash(w)))
+      .select(col(keyCol), simhashOfHashes(col("_hs"), bits).as("simhash"))
+  }
+
+  /** The per-bit vote fold over an array of word hashes. */
+  def simhashOfHashes(hs: Column, bits: Int = SimhashBits): Column =
     (0 until bits).map { j =>
       val votes = aggregate(hs, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Single-column simhash (recomputes the word hashes per bit — only
+    * for tests/small data; use [[simhashDf]] on the hot path).
+    */
+  def simhash(text: Column, bits: Int = SimhashBits): Column =
+    simhashOfHashes(transform(words(text), w => portableHash(w)), bits)
 
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** n-gram Jaccard similarity pairs ≥ `threshold`: explode distinct
-    * shingles, self-join on shingle (inverted index — shuffle is on
-    * shingle keys), count intersections, compute |A∩B| / (|A|+|B|-|A∩B|).
+    * shingles into an inverted index (ONE corpus pass — the md5 shingle
+    * work is never recomputed), group doc ids per shingle, emit
+    * within-bucket pairs, count intersections per pair, compute
+    * |A∩B| / (|A|+|B|-|A∩B|).
+    *
+    * `maxDf` caps the document frequency of a shingle: a boilerplate
+    * shingle shared by millions of docs would otherwise create one
+    * quadratic bucket — the scale-killer at 10^12 docs. Shingles past
+    * the cap carry ~zero Jaccard signal (they are corpus-wide noise,
+    * the IDF≈0 regime) and are excluded from intersection counts.
     * At scale this runs AFTER LSH candidate filtering; standalone it is
-    * the exact (quadratic-in-collisions) verification step.
+    * the exact verification step.
     */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val withSh = df.select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    val inv = withSh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    val l = inv.select(col("id").as("a"), col("n_sh").as("na"), col("s"))
-    val r = inv.select(col("id").as("b"), col("n_sh").as("nb"), col("s"))
-    l.join(r, Seq("s")).where(col("a") < col("b"))
+      threshold: Double, maxDf: Int = 100000): DataFrame = {
+    val inv = df
+      .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    inv
+      .groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("docs"))
+      .where(size(col("docs")).between(2, maxDf))
+      .select(explode(sortedPairs(col("docs"))).as("p"))
+      .select(
+        col("p.l.id").as("a"), col("p.r.id").as("b"),
+        col("p.l.n_sh").as("na"), col("p.r.n_sh").as("nb"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
@@ -131,10 +185,16 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, keyCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val l = df.select(col(blockCol).as("blk"), col(keyCol).as("a"), col(vecCol).as("va"))
-    val r = df.select(col(blockCol).as("blk"), col(keyCol).as("b"), col(vecCol).as("vb"))
+    // precompute each row's norm BEFORE the block join: O(rows) norm
+    // work instead of O(pairs) — inside the join each pair costs one
+    // dot product, not three
+    val l = df.select(col(blockCol).as("blk"), col(keyCol).as("a"), col(vecCol).as("va"),
+      Similarity.norm(col(vecCol)).as("_na"))
+    val r = df.select(col(blockCol).as("blk"), col(keyCol).as("b"), col(vecCol).as("vb"),
+      Similarity.norm(col(vecCol)).as("_nb"))
     l.join(r, Seq("blk")).where(col("a") < col("b"))
-      .withColumn("cos", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(Similarity.dot(col("va"), col("vb")) / (col("_na") * col("_nb")), 6))
       .where(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -16,25 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<numeric> columns, computed in double
-    * with left-to-right summation (portable across engines).
+  /** Dot product of two array<numeric> columns in double with
+    * left-to-right summation (portable across engines).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array<numeric> column. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two array<numeric> columns. On pair-join hot
+    * paths, precompute [[norm]] per ROW before the join instead (see
+    * [[bruteForceTopK]]) — this form recomputes both norms per pair.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors by cosine for each query vector.
     * `queries(qKey, qVec)` is broadcast against `corpus(cKey, cVec)`;
-    * self-matches (same key) are excluded.
+    * self-matches (same key) are excluded. Norms are computed once per
+    * corpus row / query row before the join, so each of the
+    * |Q|×|corpus| scored pairs costs a single dot product.
     */
   def bruteForceTopK(corpus: DataFrame, cKey: String, cVec: String,
       queries: DataFrame, qKey: String, qVec: String, k: Int): DataFrame = {
-    val scored = corpus
-      .join(broadcast(queries), col(qKey) =!= col(cKey))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+    val c = corpus.withColumn("_cn", norm(col(cVec)))
+    val q = queries.withColumn("_qn", norm(col(qVec)))
+    val scored = c
+      .join(broadcast(q), col(qKey) =!= col(cKey))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy(col(qKey)).orderBy(col("cos").desc, col(cKey).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -82,11 +92,13 @@ object Similarity {
       queries: DataFrame, qKey: String, qVec: String, k: Int,
       planes: Array[Array[Double]]): DataFrame = {
     val cB = corpus.withColumn("bucket", lshBucket(col(cVec), planes))
+      .withColumn("_cn", norm(col(cVec)))
     val qB = queries.withColumn("bucket", lshBucket(col(qVec), planes))
+      .withColumn("_qn", norm(col(qVec)))
     val scored = cB
       .join(broadcast(qB), Seq("bucket"))
       .where(col(qKey) =!= col(cKey))
-      .withColumn("cos", cosine(col(qVec), col(cVec)))
+      .withColumn("cos", dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy(col(qKey)).orderBy(col("cos").desc, col(cKey).asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
