@@ -9,7 +9,7 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private lazy val df = SequenceGen.generate(spark, 8000).cache()
 
-  test("salted uniqueness finds exactly the injected duplicate doc_ids") {
+  test("uniqueness finds exactly the injected duplicate doc_ids") {
     val dups = Checks.uniquenessViolations(df, "doc_id").collect()
     // injected: id % 1000 == 17 (id >= 1000) takes doc_id of id-999
     val expected = (1017L until 8000L by 1000L).map(id => SequenceGen.docIdOf(id - 999)).toSet
@@ -42,6 +42,40 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(drift("src3") > 0.1, s"src3 PSI=${drift("src3")} should exceed 0.1")
     assert(drift("src1") < 0.1, s"src1 PSI=${drift("src1")} should be small")
+  }
+
+  test("driftByGroup charges a group for baseline buckets it vanished from") {
+    import spark.implicits._
+    // group g1 covers both baseline buckets; g2 lost bucket 1 entirely
+    val observed = Seq(
+      ("g1", 0L, 50L), ("g1", 1L, 50L),
+      ("g2", 0L, 100L)).toDF("g", "bucket", "n")
+    val baseline = Seq((0L, 0.5), (1L, 0.5)).toDF("bucket", "p")
+    val drift = Checks.driftByGroup(observed, Seq("g"), baseline).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(drift("g1")._1) < 1e-4 && math.abs(drift("g1")._2) < 1e-4)
+    // g2: p=(1,0) vs q=(0.5,0.5) → KL ≈ ln 2; the vanished bucket's
+    // q-mass is ~half the PSI — dropping it (the old bug) halves the score
+    assert(drift("g2")._1 > 0.6, s"KL=${drift("g2")._1} must include the lost bucket")
+    assert(drift("g2")._2 > 6.0, s"PSI=${drift("g2")._2} must include the lost bucket")
+    // observed-only buckets keep their p-mass too (full-outer, not left)
+    val obs2 = Seq(("g3", 7L, 100L)).toDF("g", "bucket", "n")
+    val d3 = Checks.driftByGroup(obs2, Seq("g"), baseline).collect()(0)
+    assert(d3.getDouble(1) > 1.0, "a group entirely outside the baseline must score high")
+  }
+
+  test("HLL approx_distinct tracks exact countDistinct within 3x the configured rsd") {
+    val big = SequenceGen.generate(spark, 20000)
+    val approx = TableProfiler.profile(big)
+      .collect().map(r => r.getString(0) -> r.getLong(6)).toMap
+    val exact = Seq("doc_id", "n_tok", "source").map { c =>
+      c -> big.select(countDistinct(col(c))).collect()(0).getLong(0)
+    }.toMap
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      assert(math.abs(a - e).toDouble / math.max(e, 1L) <= 0.15,
+        s"$c: approx=$a exact=$e drifts beyond 15%")
+    }
   }
 
   test("histogram buckets match a direct groupBy") {

@@ -60,6 +60,26 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ham(sh(0L), sh(4L)) < ham(sh(0L), sh(3L)))
   }
 
+  test("simhashDf (hash-once) is identical to the per-bit column form") {
+    val fast = Dedup.simhashDf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    // full 60-bit range in use: some doc sets a bit above 16
+    assert(fast.values.exists(v => (v >>> 16) != 0L))
+  }
+
+  test("jaccard maxDf cap excludes hot boilerplate shingles") {
+    // 10 docs sharing exactly one shingle ("w1 w2 w3"); every other
+    // shingle is unique per doc
+    val hot = (0 until 10).map(i => (i.toLong, s"w1 w2 w3 u$i v$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 0.1).collect()
+    assert(uncapped.length == 45, "all 10-choose-2 pairs via the shared shingle")
+    val capped = Dedup.ngramJaccardPairs(hot, "doc_id", "text", 0.1, maxDf = 9).collect()
+    assert(capped.isEmpty, "df-10 shingle past the cap contributes no pairs")
+  }
+
   test("ngram jaccard: dup pair = 1.0, near-dup high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.05).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
