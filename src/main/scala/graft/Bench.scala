@@ -24,15 +24,16 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // JVM + parquet-footer warmup so per-query numbers measure the plan,
-    // not first-touch class loading
-    try SparkEntry.queries.get("q1_pricing").foreach(f =>
-      f(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
-
+    // Per-query warmup + min-of-2 (the ScalingBench discipline): one
+    // untimed run absorbs JIT/classload/parquet-footer costs, then the
+    // min of two timed runs measures the PLAN. Noise in this sandbox is
+    // one-sided (cgroup page-charge stalls), so min is the right
+    // estimator.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try {
-        time(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+        def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        run() // warmup
+        (1 to 2).map(_ => time(run())).min
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }

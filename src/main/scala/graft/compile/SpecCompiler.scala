@@ -259,44 +259,54 @@ object SpecCompiler {
           c => offendingValue(c, at)))
       else Nil
 
+    // A null ELEMENT is a JSON null VALUE (JNull), not an absent
+    // property: under a single primitive-typed item schema it fails the
+    // type check (Validator.hs:52-75 mismatch) and skips the keyword
+    // checks, exactly like the oracle. Under `any`/`null` item schemas
+    // it passes (oracle: (SAny, JNull) → no errors); union-typed item
+    // schemas keep the engine's branch semantics (documented residual
+    // divergence, SURVEY.md §7.4).
+    // Dead-check elision: when the physical type says elements can
+    // never be null (containsNull=false — e.g. tokens read from parquet
+    // with required elements), the `[*].type` gen and every per-element
+    // null guard are statically dead and ELIDED — the hot path stays at
+    // one array traversal per keyword, not per keyword + guard.
+    val nullableElems = at.containsNull
     val itemGens: Seq[Gen] = spec.items match {
       case None => Nil
       case Some(Left(one)) =>
         // one schema for all elements: each element-level constraint
-        // becomes a `forall`; offending values are the failing elements.
-        // A null ELEMENT is a JSON null VALUE (JNull), not an absent
-        // property: under a single primitive-typed item schema it fails
-        // the type check (Validator.hs:52-75 mismatch) and skips the
-        // keyword checks, exactly like the oracle. Under `any`/`null`
-        // item schemas it passes (oracle: (SAny, JNull) → no errors);
-        // union-typed item schemas keep the engine's branch semantics
-        // (documented residual divergence, SURVEY.md §7.4).
+        // becomes a `forall`; offending values are the failing elements
         val typeGen =
-          if (rejectsNullElement(one))
+          if (nullableElems && rejectsNullElement(one))
             Seq(Gen(s"$path[*].type",
               c => forall(c, x => x.isNotNull),
               _ => lit("null")))
           else Nil
         typeGen ++ valueGens(one, et, s"$path[*]").map { g =>
+          val elemPass: Column => Column =
+            if (nullableElems) x => x.isNull || notNullPass(g.pass(x))
+            else x => notNullPass(g.pass(x))
           Gen(g.cid,
-            c => forall(c, x => x.isNull || notNullPass(g.pass(x))),
-            c => to_json(filter(c, x => x.isNotNull && !notNullPass(g.pass(x)))))
+            c => forall(c, elemPass),
+            c => to_json(filter(c, x => !elemPass(x))))
         }
       case Some(Right(tuple)) =>
         val positional = tuple.zipWithIndex.flatMap { case (sub, i) =>
           // element beyond the array's end is undefined → passes
-          // (positions ≥ minItems are optional, CodeGen.hs:445-452);
-          // a null element at position i is JNull (see items above)
+          // (positions ≥ minItems are optional, CodeGen.hs:445-452)
           def e(c: Column): Column = element_at(c, i + 1)
           val typeGen =
-            if (rejectsNullElement(sub))
+            if (nullableElems && rejectsNullElement(sub))
               Seq(Gen(s"$path[$i].type",
                 c => size(c) <= i || e(c).isNotNull,
                 _ => lit("null")))
             else Nil
           typeGen ++ valueGens(sub, et, s"$path[$i]").map { g =>
             Gen(g.cid,
-              c => size(c) <= i || e(c).isNull || notNullPass(g.pass(e(c))),
+              c =>
+                if (nullableElems) size(c) <= i || e(c).isNull || notNullPass(g.pass(e(c)))
+                else size(c) <= i || notNullPass(g.pass(e(c))),
               c => e(c).cast(StringType))
           }
         }
@@ -309,15 +319,18 @@ object SpecCompiler {
               c => to_json(tail(c))))
           case Right(sub) =>
             val typeGen =
-              if (rejectsNullElement(sub))
+              if (nullableElems && rejectsNullElement(sub))
                 Seq(Gen(s"$path[*].type",
                   c => forall(tail(c), x => x.isNotNull),
                   _ => lit("null")))
               else Nil
             typeGen ++ valueGens(sub, et, s"$path[*]").map { g =>
+              val elemPass: Column => Column =
+                if (nullableElems) x => x.isNull || notNullPass(g.pass(x))
+                else x => notNullPass(g.pass(x))
               Gen(g.cid,
-                c => forall(tail(c), x => x.isNull || notNullPass(g.pass(x))),
-                c => to_json(filter(tail(c), x => x.isNotNull && !notNullPass(g.pass(x)))))
+                c => forall(tail(c), elemPass),
+                c => to_json(filter(tail(c), x => !elemPass(x))))
             }
         }
         positional ++ extra

@@ -33,6 +33,14 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
 
   /** Validate every not-yet-committed partition. Returns per-partition
     * metrics of THIS run (resumed partitions are skipped).
+    *
+    * PRECONDITION at scale: the storage layout must be partitioned by
+    * `partCol` (Iceberg/Hive `PARTITIONED BY`), so each `where(partCol
+    * === p)` slice is satisfied by partition PRUNING — a metadata
+    * operation. On an unpartitioned layout this loop degrades to one
+    * full scan per partition value, which is pathological at 10^12
+    * rows; commit-per-partition is only meaningful when the table
+    * layout gives each partition its own files.
     */
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
       limit: Option[Int] = None): Seq[PartitionResult] = {
