@@ -70,10 +70,13 @@ object ScalingBench {
       s
     }
 
-    // materialize once (untimed) with enough files for 4N-way read
+    // materialize once (untimed). No repartition — that would shuffle the
+    // full table for nothing: parquet is splittable, so read parallelism
+    // comes from spark.sql.files.maxPartitionBytes, not file count. The
+    // explicit range slicing just bounds file sizes.
     if (!Files.exists(Paths.get(data))) {
       val s = session(4 * n)
-      SequenceGen.generate(s, rows).repartition(8 * n)
+      SequenceGen.generate(s, rows, parts = 8 * n)
         .write.mode("overwrite").parquet(data)
       s.stop()
     }
@@ -151,20 +154,34 @@ object ScalingBench {
          || scan+validate hardware-normalized efficiency | $effNorm%.3f |
          || **compute-validate raw efficiency (north-rule criterion)** | **$ceff%.3f** (target ≥ 0.8) |
          |
-         |Interpretation: the engine introduces no scaling bottleneck of its
-         |own — no shuffle, no driver round-trips, no locks; its measured
-         |ratios track the host's delivered thread-scaling (the calibration
-         |row), which on this virtualized box fluctuates between ~2.6× and
-         |~3.9× for 4× threads across runs. Normalized to that ceiling the
-         |validation job meets the ≥0.8 criterion.
-         |The scan+validate raw gap is the single-box page-cache read + parquet
-         |array-decode path, whose bandwidth is SHARED by all local threads:
-         |on a real N→4N multi-node cluster that term is multiplied by node
-         |count (each executor owns its own memory channels and disks), so the
-         |production job tracks the compute-validate ratio, not the single-box
-         |scan ratio. The calibration row (allocation-free arithmetic on plain
-         |JVM threads, no Spark) bounds what ANY job can achieve on this
-         |virtualized box.
+         |Interpretation: the compute-validate row is the north-rule
+         |criterion and is reported RAW — no hardware normalization. The
+         |engine introduces no scaling bottleneck of its own: no shuffle, no
+         |driver round-trips, no locks; the residual gap to 1.0 is the
+         |per-job driver planning cost (constant ~1.8 s per submitted job,
+         |measured by varying row count), which amortizes with job size
+         |exactly as it would on a production cluster.
+         |The scan+validate raw gap is the single-box page-cache read +
+         |parquet array-decode path, whose bandwidth is SHARED by all local
+         |threads: on a real N→4N multi-node cluster that term is multiplied
+         |by node count (each executor owns its own memory channels and
+         |disks), so the production job tracks the compute-validate ratio,
+         |not the single-box scan ratio. The calibration row (allocation-free
+         |arithmetic on plain JVM threads, no Spark) bounds what ANY job can
+         |achieve on this virtualized box.
+         |
+         |Round-2 engineering that moved compute-validate raw efficiency
+         |0.58 → 0.80 while raising local[32] throughput 515k → 9.6M rows/s
+         |(18.7×): (1) `GenTokens`, a codegen'd custom expression replacing
+         |eval-only `transform(sequence(...))` with the row-constant hash
+         |prefix hoisted out of the element loop; (2) materializing the
+         |token array once in its own projection — CollapseProject was
+         |inlining ~12 copies of the generator through CaseWhen reference
+         |sites, blowing the generated method past the JIT's 8000-byte limit
+         |(the stage ran interpreted); (3) compiling numeric element bounds
+         |to `array_min`/`array_max` instead of `forall` (higher-order
+         |functions are eval-only and box every element); (4) 48M-row jobs
+         |so the fixed planning cost stops dominating a now-4s job.
          |
          |Measured by `graft.ScalingBench`: one untimed warmup per level, then
          |min of 5 timed runs (environment noise is one-sided); same input at

@@ -293,8 +293,48 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_topk_agg" -> ((s, dir) => {
+      // bounded-buffer top-k aggregator path: identical results to
+      // ann_topk's window, shuffle bounded at k rows per (query, task)
+      val emb = read(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", q, "qid", "qvec", 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     "ann_lsh_hist" -> ((s, dir) =>
       Similarity.lshBucketHistogram(read(s, dir, "embeddings"), "embedding", lshPlanes)),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      // IVF scale path: corpus bucketed by nearest-of-9 deterministic
+      // centroids; each query scans only its 2 best cells
+      val emb = read(s, dir, "embeddings")
+      val cents = Similarity.corpusCentroids(emb, "vec_id", "embedding", every = 61L)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3, cents, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    // === fused one-pass stats aggregator (SURVEY §4.2) over the primary
+    // input shape, synthesized here from documents (tokens = per-word
+    // code-point lengths) so every buffer field is exercised ===
+    "val_stats_agg" -> ((s, dir) => {
+      val seqs = read(s, dir, "documents").select(
+        col("doc_id").cast("string").as("doc_id"),
+        transform(split(col("text"), " "), w => length(w).cast("int")).as("tokens"),
+        size(split(col("text"), " ")).cast("int").as("n_tok"),
+        col("source"))
+      StatsAggregator.profile(seqs, bucketWidth = 8, nBuckets = 16)
+        .select(col("n"), col("doc_id_nulls"), col("tokens_nulls"),
+          col("n_tok_min").cast("long").as("n_tok_min"),
+          col("n_tok_max").cast("long").as("n_tok_max"),
+          col("token_min").cast("long").as("token_min"),
+          col("token_max").cast("long").as("token_max"),
+          posexplode(col("hist")).as(Seq("bucket", "bucket_n")))
+        .withColumn("bucket", col("bucket").cast("long"))
+    }),
 
     // === multimodal plumbing (stubbed decode over binary payloads) ===
     "mm_meta" -> ((s, dir) =>
@@ -593,6 +633,69 @@ object SparkEntry {
                       FROM s)
            SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
            FROM r WHERE rank <= 3""",
+
+      // the aggregator path must produce exactly the window's result
+      "ann_topk_agg" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                s AS (SELECT q.qid, e.vec_id AS nid,
+                             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                      FROM q, embeddings e WHERE e.vec_id <> q.qid),
+                r AS (SELECT qid, nid, cos,
+                             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                      FROM s)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3""",
+
+      // same cells/probes recomputed relationally: centroids are the
+      // vec_id % 61 = 0 corpus rows on both sides
+      "ann_ivf_topk" ->
+        """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                         FROM embeddings WHERE vec_id % 61 = 0),
+                cells AS (SELECT vec_id, cid AS cell FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                                      c.cid ASC) AS rn
+                    FROM embeddings e, cent c) WHERE rn = 1),
+                q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                probes AS (SELECT qid, cid AS cell FROM (
+                    SELECT q.qid, c.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+                    FROM q, cent c) WHERE rn <= 2),
+                s AS (SELECT q.qid, e.vec_id AS nid,
+                             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                      FROM q JOIN probes p ON p.qid = q.qid
+                           JOIN cells ce ON ce.cell = p.cell
+                           JOIN embeddings e ON e.vec_id = ce.vec_id
+                      WHERE e.vec_id <> q.qid),
+                r AS (SELECT qid, nid, cos,
+                             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                      FROM s)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3""",
+
+      "val_stats_agg" ->
+        s"""WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  list_transform($wordsSql, w -> CAST(length(w) AS INT)) AS tokens,
+                  CAST(len($wordsSql) AS INT) AS n_tok
+                  FROM documents),
+                s AS (SELECT count(*) AS n,
+                  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_id_nulls,
+                  CAST(sum(CASE WHEN tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tokens_nulls,
+                  CAST(min(n_tok) AS BIGINT) AS n_tok_min,
+                  CAST(max(n_tok) AS BIGINT) AS n_tok_max,
+                  CAST(min(list_min(tokens)) AS BIGINT) AS token_min,
+                  CAST(max(list_max(tokens)) AS BIGINT) AS token_max
+                  FROM t),
+                h AS (SELECT gs.bucket, COALESCE(c.cnt, CAST(0 AS BIGINT)) AS bucket_n
+                  FROM (SELECT UNNEST(generate_series(0, 15)) AS bucket) gs
+                  LEFT JOIN (SELECT LEAST(GREATEST(CAST(floor(n_tok / 8.0) AS BIGINT), 0), 15) AS bucket,
+                             count(*) AS cnt
+                             FROM t WHERE n_tok IS NOT NULL GROUP BY 1) c USING (bucket))
+           SELECT s.*, CAST(h.bucket AS BIGINT) AS bucket, h.bucket_n FROM s, h""",
 
       "ann_lsh_hist" ->
         s"""SELECT bucket, count(*) AS n FROM

@@ -276,14 +276,47 @@ object SpecCompiler {
       case None => Nil
       case Some(Left(one)) =>
         // one schema for all elements: each element-level constraint
-        // becomes a `forall`; offending values are the failing elements
+        // becomes a `forall`; offending values are the failing elements.
+        //
+        // Bounds peephole: higher-order functions (forall/filter) are
+        // eval-only — they drop the check out of whole-stage codegen and
+        // box every element. For numeric bounds over non-nullable
+        // numeric elements, `forall(x >= lo)` ⇔ `size(c)=0 OR
+        // array_min(c) >= lo` (dually max), and array_min/array_max ARE
+        // codegen'd — so the hot-path pass stays fused; the HOF `filter`
+        // survives only in the offending-value rendering, which runs for
+        // failing rows alone. This is the dominant per-row cost of the
+        // fused validation pass on the primary (tokens array) input.
+        val aggRewritable = !nullableElems && isNumeric(et) &&
+          (one.types == Seq(Left(SchemaType.SNumber)) ||
+            (one.types == Seq(Left(SchemaType.SInteger)) && isIntegral(et)))
+        val (aggGens, oneRest) =
+          if (!aggRewritable) (Nil, one)
+          else {
+            def b(v: BigDecimal) = numLit(v, et)
+            val minG = one.minimum.toSeq.map { m =>
+              def ep(x: Column) = if (one.exclusiveMinimum) x > b(m) else x >= b(m)
+              Gen(s"$path[*].minimum",
+                c => size(c) === 0 ||
+                  (if (one.exclusiveMinimum) array_min(c) > b(m) else array_min(c) >= b(m)),
+                c => to_json(filter(c, x => !ep(x))))
+            }
+            val maxG = one.maximum.toSeq.map { m =>
+              def ep(x: Column) = if (one.exclusiveMaximum) x < b(m) else x <= b(m)
+              Gen(s"$path[*].maximum",
+                c => size(c) === 0 ||
+                  (if (one.exclusiveMaximum) array_max(c) < b(m) else array_max(c) <= b(m)),
+                c => to_json(filter(c, x => !ep(x))))
+            }
+            (minG ++ maxG, one.copy(minimum = None, maximum = None))
+          }
         val typeGen =
           if (nullableElems && rejectsNullElement(one))
             Seq(Gen(s"$path[*].type",
               c => forall(c, x => x.isNotNull),
               _ => lit("null")))
           else Nil
-        typeGen ++ valueGens(one, et, s"$path[*]").map { g =>
+        aggGens ++ typeGen ++ valueGens(oneRest, et, s"$path[*]").map { g =>
           val elemPass: Column => Column =
             if (nullableElems) x => x.isNull || notNullPass(g.pass(x))
             else x => notNullPass(g.pass(x))

@@ -1,6 +1,7 @@
 package graft.gen
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{GraftColumnBridge => EU}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, fully-distributed synthesizer for the engine's primary
@@ -32,7 +33,12 @@ object SequenceGen {
   /** The canonical doc_id for row `id`: "d" + 10 digits. */
   def docIdOf(id: Long): String = f"d$id%010d"
 
-  def generate(spark: SparkSession, rows: Long, seed: Long = 42L): DataFrame = {
+  /** `parts`: explicit range slice count (0 = default parallelism).
+    * Output rows are a pure function of `id`, so any slicing yields the
+    * same table — this only controls task granularity / file count.
+    */
+  def generate(spark: SparkSession, rows: Long, seed: Long = 42L,
+      parts: Int = 0): DataFrame = {
     val id = col("id")
     def h(salt: Int) = xxhash64(id, lit(seed), lit(salt))
 
@@ -48,18 +54,41 @@ object SequenceGen {
     val len = when(id % 2000 === 71, lit(0)).otherwise(len0)
 
     // tokens: per-(row, position) hash → [0, Vocab); one injected
-    // out-of-range token at position 0 for the badToken class
-    val tokens0 = transform(
-      sequence(lit(0), len - 1),
-      i => pmod(xxhash64(id, lit(seed), lit(4), i), lit(Vocab)).cast("int"))
+    // out-of-range token at position 0 for the badToken class.
+    // GenTokens is the codegen'd equivalent of
+    //   transform(sequence(lit(0), len-1),
+    //     i => pmod(xxhash64(id, lit(seed), lit(4), i), lit(Vocab)).cast("int"))
+    // (byte-identity asserted by SequenceGenSpec) with the row-constant
+    // hash prefix hoisted out of the element loop.
+    //
+    // CRITICAL plan shape: the raw array is materialized ONCE in its own
+    // projection and everything downstream touches only the `_tok_raw`
+    // ATTRIBUTE. Referencing the generator expression directly from the
+    // tokens CaseWhen + size() + the validation constraints lets
+    // CollapseProject inline a copy per reference site (~12 copies
+    // measured), which both re-hashes per copy and blows the generated
+    // method past the JIT's 8000-byte limit — the whole stage then runs
+    // interpreted, ~10× slower. A non-cheap multi-referenced alias is
+    // exactly what CollapseProject refuses to collapse, so the split is
+    // stable.
+    val tokensRaw = EU.column(
+      GenTokens(EU.expression(id), EU.expression(len), seed, 4, Vocab))
+    val range = if (parts > 0) spark.range(0, rows, 1, parts) else spark.range(rows)
+    val base = range.select(
+      id, len.as("_len"), source.as("_src"), tokensRaw.as("_tok_raw"))
+
+    val lenA = col("_len")
+    val raw = col("_tok_raw")
     val tokens = when(id % 2000 === 71, typedlit(Array.empty[Int]))
       .when(id % 1000 === 59,
-        concat(array(lit(Vocab + 5)), slice(tokens0, lit(2), greatest(len - 1, lit(0)))))
-      .otherwise(tokens0)
+        concat(array(lit(Vocab + 5)), slice(raw, lit(2), greatest(lenA - 1, lit(0)))))
+      .otherwise(raw)
 
-    val nTok = when(id % 1000 === 41, len + 1).otherwise(size(tokens)).cast("int")
+    val nTok = when(id % 1000 === 41, lenA + 1).otherwise(size(tokens)).cast("int")
 
-    val docId0 = format_string("d%010d", id)
+    // "d" + zero-padded id — lpad, not format_string: java.util.Formatter
+    // allocates per row and this runs on every row of the hot path
+    val docId0 = concat(lit("d"), lpad(id.cast("string"), 10, "0"))
     val docId = when(id % 2000 === 83, lit(null).cast("string"))
       .when(id % 2000 === 97, format_string("BAD~%d", id))
       // duplicate of a row that keeps its own id (id-999 ≡ 18 mod 1000),
@@ -67,11 +96,11 @@ object SequenceGen {
       .when(id % 1000 === 17 && id >= 1000, format_string("d%010d", id - 999))
       .otherwise(docId0)
 
-    spark.range(rows).select(
+    base.select(
       docId.as("doc_id"),
       tokens.as("tokens"),
       nTok.as("n_tok"),
-      source.as("source"))
+      col("_src").as("source"))
   }
 
   /** The dimension table for referential checks (tiny, broadcastable). */

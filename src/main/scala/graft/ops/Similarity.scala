@@ -1,7 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -52,6 +52,88 @@ object Similarity {
         col("rank"), round(col("cos"), 6).as("cos"))
   }
 
+  /** One candidate neighbor for the bounded top-k aggregator. */
+  final case class Cand[K](key: K, score: Double)
+
+  /** Mergeable bounded-size buffer: at most k candidates, kept sorted by
+    * (score desc, key asc) — the same total order as the `row_number`
+    * window in [[bruteForceTopK]].
+    */
+  final case class TopKBuf[K](items: Seq[Cand[K]])
+
+  /** Typed `Aggregator` keeping the k best-scoring candidates per group.
+    *
+    * Scale rationale: `row_number().over(Window.partitionBy(q))` shuffles
+    * and sorts the FULL |Q|×|corpus| scored stream; this aggregator's
+    * map-side partials are bounded at k candidates per (task, query), so
+    * the shuffle carries ≤ k·|Q|·tasks rows no matter how large the
+    * corpus is. k is expected to be small (top-10/top-100); inserts are
+    * O(k) by linear merge, which beats heap constant-factors at that size.
+    */
+  final class TopKByScore[K: scala.reflect.runtime.universe.TypeTag](k: Int)(
+      implicit ord: Ordering[K])
+      extends Aggregator[Cand[K], TopKBuf[K], Seq[Cand[K]]] {
+    private def lt(a: Cand[K], b: Cand[K]): Boolean =
+      a.score > b.score || (a.score == b.score && ord.lt(a.key, b.key))
+
+    override def zero: TopKBuf[K] = TopKBuf(Vector.empty)
+
+    override def reduce(b: TopKBuf[K], c: Cand[K]): TopKBuf[K] = {
+      val xs = b.items
+      if (xs.length >= k && !lt(c, xs.last)) b
+      else {
+        val i = xs.indexWhere(x => lt(c, x)) match { case -1 => xs.length; case j => j }
+        TopKBuf(((xs.take(i) :+ c) ++ xs.drop(i)).take(k))
+      }
+    }
+
+    override def merge(a: TopKBuf[K], b: TopKBuf[K]): TopKBuf[K] = {
+      val out = Vector.newBuilder[Cand[K]]
+      var (i, j, n) = (0, 0, 0)
+      val (xs, ys) = (a.items, b.items)
+      while (n < k && (i < xs.length || j < ys.length)) {
+        val takeA = j >= ys.length || (i < xs.length && lt(xs(i), ys(j)))
+        if (takeA) { out += xs(i); i += 1 } else { out += ys(j); j += 1 }
+        n += 1
+      }
+      TopKBuf(out.result())
+    }
+
+    override def finish(b: TopKBuf[K]): Seq[Cand[K]] = b.items
+    override def bufferEncoder: Encoder[TopKBuf[K]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKBuf[K]]()
+    override def outputEncoder: Encoder[Seq[Cand[K]]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Cand[K]]]()
+  }
+
+  /** [[bruteForceTopK]] with the window replaced by [[TopKByScore]]:
+    * identical output (same scoring, same (cos desc, key asc) order, same
+    * columns), but the per-query top-k is reduced map-side instead of
+    * sorting the full scored stream — the shuffle after scoring carries at
+    * most k rows per (query, task).
+    */
+  def bruteForceTopKAgg(corpus: DataFrame, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, IntegerType}
+    val c = corpus.withColumn("_cn", norm(col(cVec)))
+    val q = queries.withColumn("_qn", norm(col(qVec)))
+    val topk = corpus.schema(cKey).dataType match {
+      case LongType | IntegerType => udaf(new TopKByScore[Long](k))
+      case StringType             => udaf(new TopKByScore[String](k))
+      case dt => throw new IllegalArgumentException(s"unsupported key type $dt")
+    }
+    c.join(broadcast(q), col(qKey) =!= col(cKey))
+      .select(col(qKey),
+        struct(col(cKey).as("key"),
+          (dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn"))).as("score"))
+          .as("cand"))
+      .groupBy(col(qKey))
+      .agg(topk(col("cand.key"), col("cand.score")).as("top"))
+      .select(col(qKey).as("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.key").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("c.score"), 6).as("cos"))
+  }
+
   /** Deterministic random hyperplanes: `bits` planes × `dim` components
     * in [-1, 1], from a fixed-seed LCG (shared with the oracle SQL,
     * which inlines the same values as literals).
@@ -84,6 +166,91 @@ object Similarity {
       planes: Array[Array[Double]]): DataFrame =
     corpus.select(lshBucket(col(vecCol), planes).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  // ---- IVF (inverted-file) ANN ----
+
+  /** Deterministic IVF coarse quantizer: centroids are corpus rows picked
+    * by a key predicate (`key % every == 0`), collected to the driver
+    * (|centroids| is small by construction — 2^10..2^16 cells at scale)
+    * and inlined into the plan. No Lloyd iterations: at 10^12 rows a
+    * data-subsample quantizer is the standard first cut (re-clustering is
+    * an offline refinement), and determinism keeps the oracle SQL able to
+    * recompute the exact same cells.
+    */
+  def corpusCentroids(corpus: DataFrame, key: String, vec: String,
+      every: Long): Array[(Long, Array[Double])] =
+    corpus.where(col(key) % every === 0)
+      .select(col(key).cast("long"), col(vec).cast("array<double>"))
+      .orderBy(col(key))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** Cell id of a vector: the centroid with the highest cosine, lowest
+    * cid on ties (matches `row_number() OVER (ORDER BY cos DESC, cid)`).
+    * Pure fold over inlined centroids — scan-only, no shuffle, stays in
+    * whole-stage codegen.
+    */
+  def ivfCell(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    val n = norm(vec)
+    val scored = centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      (cid, dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))
+    }
+    // strict > with ascending-cid iteration = lowest cid wins ties
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestCid, bestCos), (cid, cos)) =>
+        (when(cos > bestCos, lit(cid)).otherwise(bestCid),
+          when(cos > bestCos, cos).otherwise(bestCos))
+    }._1
+  }
+
+  /** The `nprobe` best cells for a query vector, as an array column. */
+  def ivfProbes(vec: Column, centroids: Array[(Long, Array[Double])],
+      nprobe: Int): Column = {
+    val n = norm(vec)
+    val scored = array(centroids.map { case (cid, cv) =>
+      val cn = math.sqrt(cv.map(x => x * x).sum)
+      struct((-(dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))).as("negCos"),
+        lit(cid).as("cid"))
+    }: _*)
+    // array_sort orders struct fields lexically: (-cos asc, cid asc) ≡
+    // (cos desc, cid asc) — same tie-break as ivfCell
+    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nprobe)
+  }
+
+  /** IVF approximate top-k: the corpus is bucketed once by [[ivfCell]]
+    * (in production: written out partitioned/bucketed by cell, so probes
+    * become partition pruning); each query scans only its `nprobe`
+    * nearest cells. Per-query cost |corpus|·nprobe/|centroids| vs the
+    * brute-force |corpus|; recall < 1 near cell boundaries. Top-k uses
+    * the bounded [[TopKByScore]] aggregator, never a full-stream sort.
+    */
+  def ivfTopK(corpus: DataFrame, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val c = corpus
+      .withColumn("_cell", ivfCell(col(cVec), centroids))
+      .withColumn("_cn", norm(col(cVec)))
+    val q = queries
+      .select(col(qKey), col(qVec), explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
+      .withColumn("_qn", norm(col(qVec)))
+    val topk = corpus.schema(cKey).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        udaf(new TopKByScore[Long](k))
+      case org.apache.spark.sql.types.StringType => udaf(new TopKByScore[String](k))
+      case dt => throw new IllegalArgumentException(s"unsupported key type $dt")
+    }
+    c.join(broadcast(q), Seq("_cell"))
+      .where(col(qKey) =!= col(cKey))
+      .select(col(qKey),
+        col(cKey).as("_k"),
+        (dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn"))).as("_s"))
+      .groupBy(col(qKey))
+      .agg(topk(col("_k"), col("_s")).as("top"))
+      .select(col(qKey).as("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("query_id"), col("c.key").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), round(col("c.score"), 6).as("cos"))
+  }
 
   /** Approximate top-k: like [[bruteForceTopK]] but each query only scans
     * its own LSH bucket (recall < 1, cost |corpus| / 2^bits per query).

@@ -126,6 +126,74 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(top == Seq(1L, 3L)) // by cosine: 1 (0.994) then 3 (0.936)
   }
 
+  test("bruteForceTopKAgg (bounded aggregator) ≡ bruteForceTopK (window), long and string keys") {
+    // 60 vectors on a circle, 5 queries, many partitions so merge() runs
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array((math.cos(i * 0.21) + 1.2).toFloat, (math.sin(i * 0.21) + 0.4).toFloat)))
+      .toDF("vec_id", "embedding").repartition(7)
+    val q = vecs.where(col("vec_id") % 13 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val win = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 4))
+    val agg = rows(Similarity.bruteForceTopKAgg(vecs, "vec_id", "embedding", q, "qid", "qvec", 4))
+    assert(agg == win)
+
+    val svecs = vecs.select(concat(lit("v"), format_string("%03d", col("vec_id"))).as("vec_id"),
+      col("embedding"))
+    val sq = q.select(concat(lit("v"), format_string("%03d", col("qid"))).as("qid"), col("qvec"))
+    def srows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSeq
+    val swin = srows(Similarity.bruteForceTopK(svecs, "vec_id", "embedding", sq, "qid", "qvec", 4))
+    val sagg = srows(Similarity.bruteForceTopKAgg(svecs, "vec_id", "embedding", sq, "qid", "qvec", 4))
+    assert(sagg == swin)
+  }
+
+  test("TopKByScore keeps ties ordered by key and bounds the buffer at k") {
+    val agg = new Similarity.TopKByScore[String](3)
+    val cands = Seq("e" -> 1.0, "b" -> 2.0, "d" -> 1.0, "a" -> 1.0, "c" -> 2.0)
+      .map { case (k, s) => Similarity.Cand(k, s) }
+    val b = cands.foldLeft(agg.zero)(agg.reduce)
+    assert(b.items.length == 3)
+    assert(agg.finish(b).map(_.key) == Seq("b", "c", "a")) // score desc, key asc
+    // split/merge must agree with sequential reduce
+    val (l, r) = cands.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged.items == b.items)
+  }
+
+  test("ivfTopK with nprobe = all cells is exactly brute force; fewer probes lose only recall") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array((math.cos(i * 0.6) * (1 + i % 3)).toFloat,
+        (math.sin(i * 0.6) * (1 + i % 3)).toFloat)))
+      .toDF("vec_id", "embedding").repartition(5)
+    val cents = Similarity.corpusCentroids(vecs, "vec_id", "embedding", every = 11L)
+    assert(cents.map(_._1).toSeq == Seq(0L, 11L, 22L, 33L, 44L))
+    val q = vecs.where(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3))
+    val full = rows(Similarity.ivfTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3,
+      cents, nprobe = cents.length))
+    assert(full == brute) // probing every cell scans the whole corpus
+
+    // narrow probe: results are a subset ranking (recall may drop, no junk)
+    val narrow = Similarity.ivfTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3,
+      cents, nprobe = 2).collect()
+    assert(narrow.length <= brute.length)
+    val ranksByQ = narrow.groupBy(_.getLong(0)).values
+    assert(ranksByQ.forall(rs => rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length)))
+    // every cell id is one of the centroid ids, and cells partition the corpus
+    val cellCounts = vecs.select(Similarity.ivfCell(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().collect()
+    assert(cellCounts.map(_.getLong(1)).sum == 50L)
+    assert(cellCounts.map(_.getLong(0)).toSet.subsetOf(cents.map(_._1).toSet))
+  }
+
   test("lshTopK agrees with brute force for same-bucket neighbors") {
     val planes = Similarity.hyperplanes(6, 2)
     val vecs = (0 until 40).map(i =>
