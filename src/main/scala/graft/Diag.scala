@@ -9,6 +9,7 @@ object Diag {
     val cpus = args.headOption.getOrElse("8")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()

@@ -8,8 +8,10 @@ object DiagGen {
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.getOrElse("32")
     val rows = if (args.length > 1) args(1).toLong else 12000000L
+    val parts = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -20,7 +22,7 @@ object DiagGen {
         val t0 = System.nanoTime(); b; (System.nanoTime()-t0)/1e9 }
       println(f"[diaggen] cpus=$cpus rows=$rows $tag best=${ts.min}%.2f")
     }
-    val full = ValidationEngine.annotate(SequenceGen.generate(spark, rows), spec)
+    val full = ValidationEngine.annotate(SequenceGen.generate(spark, rows, parts = parts), spec)
       .select("doc_id","valid","violations")
     // how many times does gen_tokens appear in the final codegen source?
     val code = org.apache.spark.sql.execution.debug.codegenString(full.queryExecution.executedPlan)

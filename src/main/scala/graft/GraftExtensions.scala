@@ -1,0 +1,50 @@
+package graft
+
+import graft.gen.GenTokens
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension surface: registers graft's custom Catalyst
+  * expressions as SQL functions, the idiomatic plug-in path for a Spark
+  * library (`--conf spark.sql.extensions=graft.GraftExtensions`).
+  *
+  * `GraftFunctions.register(spark)` installs the same functions into an
+  * already-running session (useful in notebooks/tests where the session
+  * exists before the library is on the classpath).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def longArg(e: Expression, what: String): Long = e.eval(null) match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case other   => throw new IllegalArgumentException(
+      s"gen_tokens: $what must be an integer literal, got $other")
+  }
+
+  /** `gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)` —
+    * deterministic token array, equal to
+    * `transform(sequence(0, len-1), i -> pmod(xxhash64(id, seed, salt, i), vocab))`.
+    */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      new FunctionIdentifier("gen_tokens"),
+      new ExpressionInfo(classOf[GenTokens].getName, "gen_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)")
+        GenTokens(args(0), args(1), longArg(args(2), "seed"),
+          longArg(args(3), "salt").toInt, longArg(args(4), "vocab").toInt)
+      }))
+
+  /** Install into a live session (same registrations as the extension). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
+    }
+}

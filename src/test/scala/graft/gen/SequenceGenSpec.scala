@@ -45,6 +45,19 @@ class SequenceGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(a == b)
   }
 
+  test("gen_tokens is SQL-callable after GraftFunctions.register (extension surface)") {
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT gen_tokens(id, 7, 42L, 4, ${SequenceGen.Vocab}) AS t FROM range(3)")
+      .collect().map(_.getSeq[Int](0))
+    val viaExpr = spark.range(3).select(EU.column(GenTokens(
+        EU.expression(col("id")), EU.expression(lit(7)), 42L, 4, SequenceGen.Vocab)).as("t"))
+      .collect().map(_.getSeq[Int](0))
+    assert(viaSql.toSeq.map(_.toSeq) == viaExpr.toSeq.map(_.toSeq))
+    // the extension class itself applies cleanly to a fresh extensions object
+    new graft.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("doc_id format: d + 10 zero-padded digits (lpad path)") {
     // exclude the injected bad-format class (id % 2000 == 97 → "BAD~<id>")
     val ids = SequenceGen.generate(spark, 100).select("doc_id")
