@@ -132,7 +132,7 @@ object ScalingBench {
     // the min over repetitions is taken per (job, level) — a level never
     // gets a systematically quieter window than the other. Noise is
     // one-sided (contention only slows), so min is the right estimator.
-    val reps = 4
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
     /** 1-min host load average from /proc/loadavg (this box is shared:
       * neighbor load directly contaminates timings, so each repetition
       * records the load it ran under — evidence for which rep the min
