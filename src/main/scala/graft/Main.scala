@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: checkpointed validation of a sequences table.
   *
   * Usage:
-  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K]
+  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N]
   *
   * Runs the full pipeline — row-level constraint validation (fused
   * Catalyst pass), per-partition verdicts, uniqueness / referential /
@@ -36,13 +36,18 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K]")
+        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
     val maxParts = args.sliding(2).collectFirst {
       case Array("--maxPartitions", k) => k.toInt
     }
+    // commit-unit granularity below the source partition: Iceberg-style
+    // bucket(N, doc_id) (north star: "partition by source, range on doc_id")
+    val split = args.sliding(2).collectFirst {
+      case Array("--subBuckets", n) => SubSplit.Bucket(n.toInt): SubSplit
+    }.getOrElse(SubSplit.None)
 
     val builder0 = SparkSession.builder().appName("graft-validate")
     // spark-submit provides the master; standalone runs fall back to local
@@ -73,7 +78,7 @@ object Main {
     if (done.nonEmpty)
       println(s"[graft] resuming: ${done.size} partitions already committed: ${done.toSeq.sorted.mkString(",")}")
 
-    val results = runner.run(df, spec, "doc_id", "source", maxParts)
+    val results = runner.run(df, spec, "doc_id", "source", maxParts, split)
     results.foreach { r =>
       println(f"[graft] partition=${r.partition}%-12s rows=${r.nRows}%8d failed=${r.nFailed}%6d violations=${r.nViolations}%6d pass=${r.pass}")
     }

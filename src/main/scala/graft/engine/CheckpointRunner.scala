@@ -20,6 +20,38 @@ import java.nio.file.{Files, Paths}
   * present, `commit`/`completed` would target an Iceberg checkpoint table
   * via the same interface.
   */
+/** How a logical partition (= one `partCol` value) is further split into
+  * commit units — the "range on doc_id" axis of the north star's
+  * two-level layout (partition by source, split by doc_id). At 10^12
+  * rows a single source holds ~10^11 rows (the generator's src0 skew
+  * slice models this), far too coarse as a resume unit.
+  *
+  * - [[SubSplit.None]]: one commit unit per partition value.
+  * - [[SubSplit.Bucket]]: Iceberg's `bucket(N, doc_id)` partition
+  *   transform (`pmod(xxhash64(key), n)`). Resume-stable by
+  *   construction — no data-dependent boundary metadata to persist —
+  *   and balanced under monotonically growing ids.
+  * - [[SubSplit.Ranges]]: explicit ascending cut points over the key
+  *   (unit i = keys in [cut(i-1), cut(i))), the literal range-on-doc_id
+  *   form; in production the cuts come from the table's sort-order file
+  *   metadata (Iceberg min/max per file), so each unit prunes to its
+  *   own files. Null keys land in unit 0.
+  *
+  * Scale precondition (same as the partition-pruning one below): sub-unit
+  * slices only avoid re-scanning the whole source when the layout
+  * supports it — `PARTITIONED BY (source, bucket(N, doc_id))` for
+  * [[SubSplit.Bucket]], or a doc_id sort order within source partitions
+  * (file-level min/max skipping) for [[SubSplit.Ranges]].
+  */
+sealed trait SubSplit
+object SubSplit {
+  case object None extends SubSplit
+  final case class Bucket(n: Int) extends SubSplit { require(n >= 2) }
+  final case class Ranges(cuts: Seq[String]) extends SubSplit {
+    require(cuts.nonEmpty && cuts == cuts.sorted, "cuts must be ascending")
+  }
+}
+
 final class CheckpointRunner(spark: SparkSession, outDir: String) {
 
   private val manifestDir = s"$outDir/_manifest"
@@ -43,31 +75,55 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
     * layout gives each partition its own files.
     */
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
-      limit: Option[Int] = None): Seq[PartitionResult] = {
+      limit: Option[Int] = None, split: SubSplit = SubSplit.None): Seq[PartitionResult] = {
     val done = completedPartitions()
     // partition listing: distinct is over the (tiny) partition-key domain
     val parts = df.select(partCol).distinct().collect()
       .map(r => Option(r.getString(0)).getOrElse("__null__")).sorted
-    val todo0 = parts.filterNot(done)
-    val todo = limit.fold[Seq[String]](todo0.toSeq)(todo0.take) // simulated interrupt
-    todo.map { p =>
-      val slice =
+
+    /** Sub-unit ids and their key-slice predicates for one partition. */
+    def subUnits: Seq[(String, Option[org.apache.spark.sql.Column])] = split match {
+      case SubSplit.None => Seq(("", scala.None))
+      case SubSplit.Bucket(n) =>
+        // xxhash64(NULL) = the seed constant, so null keys land in a
+        // deterministic bucket rather than a dropped null-predicate row
+        (0 until n).map(i =>
+          (s"~b$i", Some(pmod(xxhash64(col(keyCol)), lit(n.toLong)) === i)))
+      case SubSplit.Ranges(cuts) =>
+        // unit index = #cuts <= key, as a codegen-friendly comparison sum
+        // (null key: every when() yields 0 → unit 0)
+        val idx = cuts.foldLeft(lit(0)) { (acc, cut) =>
+          acc + when(col(keyCol) >= lit(cut), 1).otherwise(0)
+        }
+        (0 to cuts.size).map(i => (s"~r$i", Some(idx === i)))
+    }
+
+    val units = parts.toSeq.flatMap(p => subUnits.map { case (suffix, pred) =>
+      (s"$p$suffix", p, pred)
+    })
+    val todo0 = units.filterNot { case (id, _, _) => done(id) }
+    val todo = limit.fold(todo0)(todo0.take) // simulated interrupt
+    todo.map { case (unitId, p, pred) =>
+      val partSlice =
         if (p == "__null__") df.where(col(partCol).isNull)
         else df.where(col(partCol) === p) // partition pruning when the
                                           // source layout is partitioned
+      val slice = pred.fold(partSlice)(partSlice.where)
       val ann = ValidationEngine.annotate(slice, spec)
       val viol = ann.where(!col(ValidationEngine.PassCol))
         .select(col(keyCol), explode(col(ValidationEngine.ViolationsCol)).as("v"))
         .select(col(keyCol), col("v.constraint_id").as("constraint_id"),
           col("v.offending").as("offending"))
-      viol.write.mode(SaveMode.Overwrite).parquet(s"$outDir/violations/part=$p")
+      viol.write.mode(SaveMode.Overwrite).parquet(s"$outDir/violations/part=$unitId")
 
+      // coalesce: a sub-unit slice can be legitimately empty (e.g. a
+      // tiny source crossed with a bucket that holds none of its keys)
       val m = ann.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(ValidationEngine.PassCol), 0L).otherwise(1L)).as("n_failed"),
-        sum(size(col(ValidationEngine.ViolationsCol)).cast("long")).as("n_violations"))
+        coalesce(sum(when(col(ValidationEngine.PassCol), 0L).otherwise(1L)), lit(0L)).as("n_failed"),
+        coalesce(sum(size(col(ValidationEngine.ViolationsCol)).cast("long")), lit(0L)).as("n_violations"))
         .collect()(0)
-      val res = PartitionResult(p, m.getLong(0), m.getLong(1), m.getLong(2))
+      val res = PartitionResult(unitId, m.getLong(0), m.getLong(1), m.getLong(2))
 
       // commit point: manifest row written only after outputs are durable
       import spark.implicits._

@@ -192,16 +192,17 @@ object Similarity {
     */
   def ivfCell(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
     val n = norm(vec)
-    val scored = centroids.map { case (cid, cv) =>
+    // array_min over (negCos, cid) structs: lexicographic struct ordering
+    // = (cos desc, cid asc), lowest cid on ties. O(|centroids|) plan
+    // nodes — a when()-fold here duplicates the running best into every
+    // step and the expression tree grows 2^|centroids| (measured: OOMs
+    // the driver during codegen at 33 centroids).
+    val scored = array(centroids.map { case (cid, cv) =>
       val cn = math.sqrt(cv.map(x => x * x).sum)
-      (cid, dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))
-    }
-    // strict > with ascending-cid iteration = lowest cid wins ties
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestCid, bestCos), (cid, cos)) =>
-        (when(cos > bestCos, lit(cid)).otherwise(bestCid),
-          when(cos > bestCos, cos).otherwise(bestCos))
-    }._1
+      struct((-(dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))).as("negCos"),
+        lit(cid).as("cid"))
+    }: _*)
+    array_min(scored).getField("cid")
   }
 
   /** The `nprobe` best cells for a query vector, as an array column. */

@@ -52,6 +52,57 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((first ++ second).map(_.nRows).sum == 5000L)
   }
 
+  test("bucket sub-split: finer commit units, resume mid-source, totals match unsplit run") {
+    val out = Files.createTempDirectory("graft_ckpt_sub").toString
+    val df = SequenceGen.generate(spark, 5000)
+    val runner = new CheckpointRunner(spark, out)
+    val nSources = df.select("source").distinct().count().toInt
+
+    // interrupt INSIDE a source: 5 units with 3 buckets/source stops
+    // mid-way through the second source's buckets
+    val first = runner.run(df, spec, "doc_id", "source",
+      limit = Some(5), split = SubSplit.Bucket(3))
+    assert(first.size == 5)
+    assert(first.map(_.partition).forall(_.matches(".*~b[0-2]$")))
+
+    val second = runner.run(df, spec, "doc_id", "source", split = SubSplit.Bucket(3))
+    assert(second.size == nSources * 3 - 5, "resume runs exactly the remaining units")
+    assert((first ++ second).map(_.nRows).sum == 5000L,
+      "every row validated exactly once across sub-units")
+
+    // union across sub-units equals one global pass
+    val global = ValidationEngine.violations(df, spec, Seq("doc_id"))
+      .select("doc_id", "constraint_id").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getString(1))).toSet
+    assert(violationSet(s"$out/violations") == global)
+
+    assert(runner.run(df, spec, "doc_id", "source", split = SubSplit.Bucket(3)).isEmpty,
+      "fully-committed sub-split run must process zero units")
+  }
+
+  test("range sub-split: unit membership respects cut points; null keys land in unit 0") {
+    val out = Files.createTempDirectory("graft_ckpt_rng").toString
+    val df = SequenceGen.generate(spark, 4000)
+    // cuts inside the generated doc_id domain d0000000000..d0000003999
+    val cuts = Seq(SequenceGen.docIdOf(1000), SequenceGen.docIdOf(3000))
+    val res = new CheckpointRunner(spark, out)
+      .run(df, spec, "doc_id", "source", split = SubSplit.Ranges(cuts))
+    assert(res.map(_.nRows).sum == 4000L)
+
+    // every committed unit's violation rows satisfy that unit's range
+    // (doc_ids outside the canonical format — injected nulls and BAD~ids —
+    // sort below/above the cuts deterministically, same rule both sides)
+    val byUnit = spark.read.option("basePath", s"$out/violations")
+      .parquet(s"$out/violations")
+      .select("part", "doc_id").collect()
+    byUnit.foreach { r =>
+      val unit = r.getString(0); val id = Option(r.getString(1))
+      val idx = unit.substring(unit.indexOf("~r") + 2).toInt
+      val expected = id.fold(0)(s => cuts.count(s >= _))
+      assert(idx == expected, s"doc_id $id in wrong range unit $unit")
+    }
+  }
+
   test("re-running a committed partition is idempotent (same violations, same metrics)") {
     val df = SequenceGen.generate(spark, 3000)
     val outA = Files.createTempDirectory("graft_ckpt_a").toString
