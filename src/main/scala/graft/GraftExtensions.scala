@@ -32,15 +32,23 @@ object GraftFunctions {
     * `transform(sequence(0, len-1), i -> pmod(xxhash64(id, seed, salt, i), vocab))`.
     */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      new FunctionIdentifier("gen_tokens"),
-      new ExpressionInfo(classOf[GenTokens].getName, "gen_tokens"),
-      (args: Seq[Expression]) => {
-        require(args.length == 5,
-          "gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)")
-        GenTokens(args(0), args(1), longArg(args(2), "seed"),
-          longArg(args(3), "salt").toInt, longArg(args(4), "vocab").toInt)
-      }))
+    Seq(
+      (
+        new FunctionIdentifier("gen_tokens"),
+        new ExpressionInfo(classOf[GenTokens].getName, "gen_tokens"),
+        (args: Seq[Expression]) => {
+          require(args.length == 5,
+            "gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)")
+          GenTokens(args(0), args(1), longArg(args(2), "seed"),
+            longArg(args(3), "salt").toInt, longArg(args(4), "vocab").toInt)
+        }),
+      (
+        new FunctionIdentifier("dot_prod"),
+        new ExpressionInfo(classOf[graft.ops.DotProd].getName, "dot_prod"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "dot_prod(x ARRAY<numeric>, y ARRAY<numeric>)")
+          graft.ops.DotProd(args(0), args(1))
+        }))
 
   /** Install into a live session (same registrations as the extension). */
   def register(spark: SparkSession): Unit =

@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two array<numeric> columns in double with
-    * left-to-right summation (portable across engines).
+    * left-to-right summation (portable across engines). Compiled to the
+    * codegen'd [[DotProd]] expression — the declarative
+    * `aggregate(zip_with(...))` form is eval-only (HOFs fall out of
+    * whole-stage codegen and box every element); semantics identical.
     */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(DotProd(EU.expression(x), EU.expression(y)))
+  }
 
   /** L2 norm of an array<numeric> column. */
   def norm(v: Column): Column = sqrt(dot(v, v))

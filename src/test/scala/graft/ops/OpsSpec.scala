@@ -26,6 +26,39 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == java.lang.Long.parseLong(hex.take(15), 16))
   }
 
+  test("DotProd ≡ aggregate(zip_with(...)) incl. float arrays, null elements, length mismatch") {
+    def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(7)
+    val floats = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("id", "x", "y")
+    val both = floats.select(
+      Similarity.dot(col("x"), col("y")).as("expr"), hofDot(col("x"), col("y")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1), "bitwise-equal sums"))
+
+    // null semantics: null element → null; length mismatch → null; null array → null
+    val edge = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)),
+      (null, Seq[java.lang.Double](1.0))
+    ).toDF("x", "y")
+    val e = edge.select(Similarity.dot(col("x"), col("y")).as("expr"),
+      hofDot(col("x"), col("y")).as("hof")).collect()
+    e.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      assert(r.isNullAt(0), "edge cases must be null")
+    }
+
+    // SQL surface
+    graft.GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT dot_prod(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .as[Double].head()
+    assert(viaSql == 11.0)
+  }
+
   test("exact dedup groups normalized duplicates, keeps min id") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
     val dupGroup = groups.find(_.getAs[Long]("n_docs") == 3).get
