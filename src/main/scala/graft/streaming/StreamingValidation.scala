@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.engine.ValidationEngine
 import graft.spec.SchemaSpec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured-Streaming forms of the validation engine.
   *
@@ -52,4 +53,66 @@ object StreamingValidation {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(when(col(ValidationEngine.PassCol), 0L).otherwise(1L)).as("n_failed"))
+
+  /** One bucketed observation for the streaming drift monitor. */
+  final case class DriftEvent(group: String, bucket: Long)
+
+  /** Per-group monitor state: running bucket counts + row count. State
+    * size is bounded by the histogram bucket domain per group, not by
+    * stream length.
+    */
+  final case class DriftStateBuf(counts: Map[Long, Long], n: Long)
+
+  /** One update-mode output row: running drift of `group` after the
+    * micro-batch, over all `n` rows seen so far.
+    */
+  final case class DriftUpdate(group: String, n: Long, kl: Double, psi: Double)
+
+  /** Streaming drift monitor with custom state
+    * (`KeyValueGroupedDataset.mapGroupsWithState`): maintains a running
+    * token-length histogram per group and emits that group's KL/PSI vs
+    * the (driver-held, tiny) baseline profile after every micro-batch —
+    * the streaming analog of batch [[graft.engine.Checks.driftByGroup]],
+    * with identical bucketing (`floor(value / bucketWidth)`) and
+    * identical smoothing, asserted equal by the spec's
+    * streaming≡batch differential.
+    *
+    * Built-in windowed aggregation can't express this: the statistic is
+    * a nonlinear function (PSI) of the FULL running distribution, not a
+    * windowed sum — exactly the case for custom state.
+    */
+  def driftMonitor(stream: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Double, baseline: Map[Long, Double], eps: Double = 1e-6)
+      : Dataset[DriftUpdate] = {
+    val session = stream.sparkSession
+    import session.implicits._
+    stream
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
+      .as[DriftEvent]
+      .groupByKey(_.group)
+      .mapGroupsWithState[DriftStateBuf, DriftUpdate](GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[DriftEvent], state: GroupState[DriftStateBuf]) =>
+          val prev = state.getOption.getOrElse(DriftStateBuf(Map.empty, 0L))
+          val upd = rows.foldLeft(prev) { (s, e) =>
+            DriftStateBuf(
+              s.counts.updated(e.bucket, s.counts.getOrElse(e.bucket, 0L) + 1L),
+              s.n + 1L)
+          }
+          state.update(upd)
+          val t = upd.n.toDouble
+          var kl = 0.0
+          var psi = 0.0
+          // union of observed and baseline buckets, ascending for a
+          // deterministic summation order
+          (upd.counts.keySet ++ baseline.keySet).toSeq.sorted.foreach { b =>
+            val p = upd.counts.getOrElse(b, 0L).toDouble / t + eps
+            val q = baseline.getOrElse(b, 0.0) + eps
+            kl += p * math.log(p / q)
+            psi += (p - q) * math.log(p / q)
+          }
+          DriftUpdate(g, upd.n, kl, psi)
+      }
+  }
 }

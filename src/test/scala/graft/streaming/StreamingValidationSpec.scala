@@ -54,6 +54,49 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("drift monitor (mapGroupsWithState) ≡ batch drift on the accumulated stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Map(0L -> 0.5, 1L -> 0.3, 2L -> 0.2)
+    val mem = MemoryStream[Ev]
+    val q = StreamingValidation
+      .driftMonitor(mem.toDF().withColumn("source",
+          when($"doc_id".startsWith("s"), "shifted").otherwise("steady")),
+        "source", "n_tok", 4.0, baseline)
+      .writeStream.format("memory").queryName("sv_drift").outputMode("update").start()
+    try {
+      // steady follows the baseline shape; shifted sits in high buckets
+      val steady = Seq(1, 2, 3, 1, 5, 6, 9, 2, 1, 3).zipWithIndex
+        .map { case (n, i) => Ev(s"d$i", n, t(i)) }
+      val shifted = Seq(17, 18, 19, 16).zipWithIndex
+        .map { case (n, i) => Ev(s"s$i", n, t(i)) }
+      mem.addData(steady.take(5) ++ shifted.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(steady.drop(5) ++ shifted.drop(2): _*)
+      q.processAllAvailable()
+
+      // last update per group (update mode appends one row per batch)
+      val updates = spark.table("sv_drift").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      val last = updates.groupBy(_._1).map { case (g, us) => g -> us.maxBy(_._2) }
+      assert(last("steady")._2 == 10L && last("shifted")._2 == 4L)
+      assert(last("shifted")._4 > last("steady")._4,
+        "out-of-distribution group must show higher PSI")
+
+      // differential: the running PSI equals batch Checks.drift on the
+      // same accumulated rows (same bucketing, same smoothing)
+      val baseDf = baseline.toSeq.toDF("bucket", "p")
+      for ((g, rows) <- Seq("steady" -> steady, "shifted" -> shifted)) {
+        val batch = graft.engine.Checks.drift(
+          graft.engine.Checks.histogram(
+            rows.map(e => (e.doc_id, e.n_tok)).toDF("doc_id", "n_tok"), "n_tok", 4.0),
+          baseDf).collect()(0)
+        assert(math.abs(last(g)._3 - batch.getDouble(0)) < 1e-9, s"$g kl")
+        assert(math.abs(last(g)._4 - batch.getDouble(1)) < 1e-9, s"$g psi")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
