@@ -191,36 +191,22 @@ object Similarity {
 
   /** Cell id of a vector: the centroid with the highest cosine, lowest
     * cid on ties (matches `row_number() OVER (ORDER BY cos DESC, cid)`).
-    * Pure fold over inlined centroids — scan-only, no shuffle, stays in
-    * whole-stage codegen.
+    * Scan-only, no shuffle, codegen'd — see [[IvfProbes]].
     */
-  def ivfCell(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
-    val n = norm(vec)
-    // array_min over (negCos, cid) structs: lexicographic struct ordering
-    // = (cos desc, cid asc), lowest cid on ties. O(|centroids|) plan
-    // nodes — a when()-fold here duplicates the running best into every
-    // step and the expression tree grows 2^|centroids| (measured: OOMs
-    // the driver during codegen at 33 centroids).
-    val scored = array(centroids.map { case (cid, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      struct((-(dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))).as("negCos"),
-        lit(cid).as("cid"))
-    }: _*)
-    array_min(scored).getField("cid")
-  }
+  def ivfCell(vec: Column, centroids: Array[(Long, Array[Double])]): Column =
+    element_at(ivfProbes(vec, centroids, 1), 1)
 
-  /** The `nprobe` best cells for a query vector, as an array column. */
+  /** The `nprobe` best cells for a vector, by (cosine desc, cid asc), as
+    * an array column. One codegen'd [[IvfProbes]] expression carrying the
+    * centroid matrix as a plan constant — never per-centroid
+    * sub-expressions, whose analysis/codegen cost grows with |centroids|
+    * and forecloses production cell counts (2^10..2^16).
+    */
   def ivfProbes(vec: Column, centroids: Array[(Long, Array[Double])],
       nprobe: Int): Column = {
-    val n = norm(vec)
-    val scored = array(centroids.map { case (cid, cv) =>
-      val cn = math.sqrt(cv.map(x => x * x).sum)
-      struct((-(dot(vec, typedlit(cv.toSeq)) / (n * lit(cn)))).as("negCos"),
-        lit(cid).as("cid"))
-    }: _*)
-    // array_sort orders struct fields lexically: (-cos asc, cid asc) ≡
-    // (cos desc, cid asc) — same tie-break as ivfCell
-    slice(transform(array_sort(scored), s => s.getField("cid")), 1, nprobe)
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(IvfProbes(EU.expression(vec),
+      centroids.map(_._1), centroids.map(_._2), nprobe))
   }
 
   /** IVF approximate top-k: the corpus is bucketed once by [[ivfCell]]
