@@ -36,15 +36,29 @@ object Dedup {
       .select(col(keyCol), col("keep_id"))
   }
 
-  /** Word 3-gram shingles; docs shorter than 3 words use the whole text
-    * as a single shingle (shared convention with the oracle SQL).
+  /** Word 3-gram shingles over a PRE-PROJECTED words array column; docs
+    * shorter than 3 words use the whole text as a single shingle (shared
+    * convention with the oracle SQL).
+    *
+    * `w` must be a materialized attribute, not an inline `words(text)`
+    * sub-expression: the lambda's three `element_at(w, …)` references
+    * re-evaluate their argument per shingle position (HOFs get no CSE),
+    * so an inline split() makes shingling O(words²) per doc — measured
+    * ~10× on the sf0.1 jaccard/minhash paths.
     */
-  def shingles(text: Column): Column = {
-    val w = words(text)
+  def shinglesOfWords(text: Column, w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(0), size(w) - 3),
         i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))
       .otherwise(array(text))
+
+  /** Codegen'd shingle set — see [[Shingles3]]. Same values and order as
+    * [[shinglesOfWords]] (asserted by OpsSpec); use THIS on hot paths:
+    * the HOF form drops its whole stage out of codegen.
+    */
+  def shingles(text: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(Shingles3(EU.expression(text)))
   }
 
   /** Deterministic affine MinHash coefficients (shared with oracle SQL). */
@@ -56,13 +70,13 @@ object Dedup {
     * expressions — no explode, no shuffle.
     */
   def minhashSignature(df: DataFrame, keyCol: String, textCol: String, k: Int = 8): DataFrame = {
-    // hash each shingle ONCE (md5 is the expensive part), then apply the
-    // k affine transforms to the precomputed hash array
-    val hs = transform(shingles(col(textCol)), s => bucketHash(s))
+    // codegen'd shingle set, then each shingle hashed ONCE (md5 is the
+    // expensive part), then the k affine transforms over the hash array
     val cols = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("_hs"), h => (h * a + b) % HashPrime)).as(s"m$i")
     }
-    df.withColumn("_hs", hs).select(col(keyCol) +: cols: _*)
+    df.withColumn("_hs", transform(shingles(col(textCol)), s => bucketHash(s)))
+      .select(col(keyCol) +: cols: _*)
   }
 
   /** All ordered (asc) within-bucket pairs of a sorted array column:

@@ -59,6 +59,20 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaSql == 11.0)
   }
 
+  test("Shingles3 ≡ HOF shinglesOfWords form: same values, same order, edge cases") {
+    val edge = Seq("", "one", "one two", "a b c", "a b c d", "a a a a a",
+      "x  y   z q", " lead", "trail ",
+      "the cat sat on the mat the cat sat on the mat").toDF("text")
+    val rows = docs.select(col("text")).union(edge).select(
+      Dedup.shingles(col("text")).as("fast"),
+      Dedup.shinglesOfWords(col("text"), TextOps.words(col("text"))).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
   test("exact dedup groups normalized duplicates, keeps min id") {
     val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
     val dupGroup = groups.find(_.getAs[Long]("n_docs") == 3).get
