@@ -127,16 +127,15 @@ object Dedup {
     */
   val SimhashBits = 60
 
-  /** SimHash over a projected word-hash column: hash every word ONCE
-    * into `_hs` (higher-order functions get no codegen CSE, so inlining
-    * the hash array into each bit expression would recompute md5 per
-    * bit), then fold the per-bit votes over the precomputed longs.
+  /** SimHash per row as ONE codegen'd expression — one md5 per word
+    * feeding all bit counters in a single pass (see [[SimhashOfText]];
+    * ≡ the [[simhashOfHashes]] HOF reference form, asserted by OpsSpec).
     */
   def simhashDf(df: DataFrame, keyCol: String, textCol: String,
       bits: Int = SimhashBits): DataFrame = {
-    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
-    df.withColumn("_hs", transform(words(col(textCol)), w => portableHash(w)))
-      .select(col(keyCol), simhashOfHashes(col("_hs"), bits).as("simhash"))
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    df.select(col(keyCol),
+      EU.column(SimhashOfText(EU.expression(col(textCol)), bits)).as("simhash"))
   }
 
   /** The per-bit vote fold over an array of word hashes. */

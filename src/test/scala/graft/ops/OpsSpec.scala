@@ -24,6 +24,11 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val hex = md.digest("the cat sat on the mat and looked at the dog".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     assert(got == java.lang.Long.parseLong(hex.take(15), 16))
+    // the JVM kernel used by SimhashOfText matches the SQL rendering
+    for (w <- Seq("", "a", "word", "ünïcødé", "the cat"))
+      assert(SimhashUtil.hash60(org.apache.spark.unsafe.types.UTF8String.fromString(w)) ==
+        docs.sparkSession.range(1).select(
+          TextOps.portableHash(lit(w))).as[Long].head(), s"hash60($w)")
   }
 
   test("DotProd ≡ aggregate(zip_with(...)) incl. float arrays, null elements, length mismatch") {
