@@ -66,12 +66,26 @@ object Dedup {
     (0 until k).map(i => (2L * i + 3L, 104729L * (i + 1) % HashPrime))
 
   /** MinHash signature as `k` columns `m0..m{k-1}`: per hash function i,
-    * min over shingles of `(a_i * bucketHash(s) + b_i) mod p`. Pure array
-    * expressions — no explode, no shuffle.
+    * min over shingles of `(a_i * bucketHash(s) + b_i) mod p` — computed
+    * by the fused codegen'd [[MinhashSig]] expression (shingle → hash →
+    * all k running mins in one pass; no shuffle, no explode).
+    * ≡ [[minhashSignatureRef]], asserted by OpsSpec.
     */
   def minhashSignature(df: DataFrame, keyCol: String, textCol: String, k: Int = 8): DataFrame = {
-    // codegen'd shingle set, then each shingle hashed ONCE (md5 is the
-    // expensive part), then the k affine transforms over the hash array
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    val (as, bs) = minhashCoeffs(k).unzip
+    val sig = EU.column(MinhashSig(EU.expression(col(textCol)),
+      as.toArray, bs.toArray, HashPrime))
+    df.withColumn("_sig", sig)
+      .select(col(keyCol) +:
+        (0 until k).map(i => col("_sig").getItem(i).as(s"m$i")): _*)
+  }
+
+  /** The declarative HOF reference form of [[minhashSignature]] — kept
+    * as the differential-test oracle for the fused expression (and as
+    * documentation of the computation).
+    */
+  def minhashSignatureRef(df: DataFrame, keyCol: String, textCol: String, k: Int = 8): DataFrame = {
     val cols = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("_hs"), h => (h * a + b) % HashPrime)).as(s"m$i")
     }

@@ -87,6 +87,14 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(drops == Set((1L, 0L), (2L, 0L)))
   }
 
+  test("fused MinhashSig ≡ HOF reference form (all k values, all docs)") {
+    val fast = Dedup.minhashSignature(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val ref = Dedup.minhashSignatureRef(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(fast == ref)
+  }
+
   test("minhash: identical docs identical sigs; near-dups agree on some hashes") {
     val sig = Dedup.minhashSignature(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i)).toVector).toMap
