@@ -20,11 +20,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
-  private def longArg(e: Expression, what: String): Long = e.eval(null) match {
-    case l: Long => l
-    case i: Int  => i.toLong
-    case other   => throw new IllegalArgumentException(
-      s"gen_tokens: $what must be an integer literal, got $other")
+  /** Extracts an integer LITERAL argument — matching on Literal rather
+    * than calling eval(), which would throw an obscure unevaluable error
+    * for a column reference at analysis time.
+    */
+  private def longArg(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, _) => l
+    case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)  => i.toLong
+    case other => throw new IllegalArgumentException(
+      s"gen_tokens: $what must be an integer literal, got ${other.sql}")
+  }
+
+  private def intArg(e: Expression, what: String): Int = {
+    val l = longArg(e, what)
+    require(l >= Int.MinValue && l <= Int.MaxValue,
+      s"gen_tokens: $what out of int range: $l")
+    l.toInt
   }
 
   /** `gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)` —
@@ -40,7 +51,7 @@ object GraftFunctions {
           require(args.length == 5,
             "gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)")
           GenTokens(args(0), args(1), longArg(args(2), "seed"),
-            longArg(args(3), "salt").toInt, longArg(args(4), "vocab").toInt)
+            intArg(args(3), "salt"), intArg(args(4), "vocab"))
         }),
       (
         new FunctionIdentifier("dot_prod"),

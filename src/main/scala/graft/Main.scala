@@ -46,7 +46,10 @@ object Main {
     // commit-unit granularity below the source partition: Iceberg-style
     // bucket(N, doc_id) (north star: "partition by source, range on doc_id")
     val split = args.sliding(2).collectFirst {
-      case Array("--subBuckets", n) => SubSplit.Bucket(n.toInt): SubSplit
+      case Array("--subBuckets", n) =>
+        val k = n.toInt
+        if (k <= 1) SubSplit.None: SubSplit // 1 = one unit per partition
+        else SubSplit.Bucket(k): SubSplit
     }.getOrElse(SubSplit.None)
 
     val builder0 = SparkSession.builder().appName("graft-validate")

@@ -98,9 +98,13 @@ object ScalingBench {
       * sees, constant planning cost included.
       */
     /** One timed pass of (scan, compute, steady) at `cpus` cores.
-      * `warm` = also run each job untimed first (first visit per level:
-      * JIT + parquet footers; later visits reuse JIT state, the session
-      * restart only drops footer caches, which the scan warmup restores).
+      * `warm` = also run the compute/steady jobs untimed first (first
+      * visit per level: JIT; later visits reuse JIT state in the same
+      * JVM). The SCAN job is warmed on EVERY pass: each pass is a fresh
+      * session whose file-listing/footer caches start empty, and an
+      * unwarmed timed scan would carry that one-off cost — the min over
+      * repetitions would then always come from repetition 1, defeating
+      * the interleaved drift control for the scan row.
       */
     def pass(cpus: Int, warm: Boolean): (Double, Double, Double) = {
       val s = session(cpus)
@@ -118,11 +122,13 @@ object ScalingBench {
         .queryExecution.toRdd
       def steadyJob(): Unit =
         s.sparkContext.runJob(steadyRdd, (it: Iterator[_]) => { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n })
-      def t(job: () => Unit): Double = {
-        if (warm) job()
+      def t(job: () => Unit, alwaysWarm: Boolean = false): Double = {
+        if (warm || alwaysWarm) job()
         val t0 = System.nanoTime(); job(); (System.nanoTime() - t0) / 1e9
       }
-      val r = (t(() => scanJob()), t(() => computeJob()), t(() => steadyJob()))
+      // scan warms every pass: fresh-session footer/listing caches (see doc)
+      val r = (t(() => scanJob(), alwaysWarm = true),
+        t(() => computeJob()), t(() => steadyJob()))
       s.stop()
       r
     }
@@ -231,12 +237,14 @@ object ScalingBench {
          |functions are eval-only and box every element); (4) 48M-row jobs
          |so the fixed planning cost stops dominating a now-4s job.
          |
-         |Measured by `graft.ScalingBench`: 4 INTERLEAVED repetitions — each
+         |Measured by `graft.ScalingBench`: $reps INTERLEAVED repetitions — each
          |repetition times all three jobs at local[$n] then immediately at
          |local[${4 * n}], so slow host-throughput drift on this shared box
          |hits both levels equally; min over repetitions per (job, level)
-         |(noise is one-sided: contention only slows). First repetition runs
-         |each job untimed once for JIT + parquet footers. Same input at
+         |(noise is one-sided: contention only slows). The first repetition
+         |runs the compute/steady jobs untimed once for JIT; the scan job
+         |is warmed untimed on EVERY pass (each pass is a fresh session
+         |whose file-listing/footer caches start empty). Same input at
          |both levels. Single-JVM local mode is the sandbox stand-in for N
          |vs 4N executors per the task brief.
          |

@@ -74,8 +74,30 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
     * rows; commit-per-partition is only meaningful when the table
     * layout gives each partition its own files.
     */
+  /** Stable text form of a split, persisted next to the manifest. */
+  private def splitDescriptor(split: SubSplit): String = split match {
+    case SubSplit.None         => "none"
+    case SubSplit.Bucket(n)    => s"bucket:$n"
+    case SubSplit.Ranges(cuts) => s"ranges:${cuts.mkString("\u001f")}"
+  }
+
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
       limit: Option[Int] = None, split: SubSplit = SubSplit.None): Seq[PartitionResult] = {
+    // commit units are only comparable across runs under the SAME split:
+    // resuming with a different granularity would leave the old
+    // granularity's outputs on disk and double-count violations. The
+    // split descriptor is committed with the first run and must match.
+    val splitFile = Paths.get(s"$outDir/_manifest_split")
+    if (Files.exists(splitFile)) {
+      val prev = Files.readString(splitFile)
+      require(prev == splitDescriptor(split),
+        s"outDir was started with split '$prev' but this run uses " +
+          s"'${splitDescriptor(split)}'; resume with the original split " +
+          "or use a fresh outDir")
+    } else {
+      Files.createDirectories(Paths.get(outDir))
+      Files.writeString(splitFile, splitDescriptor(split))
+    }
     val done = completedPartitions()
     // partition listing: distinct is over the (tiny) partition-key domain
     val parts = df.select(partCol).distinct().collect()

@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * `1/|v|` is a positive per-row constant that cannot change the
   * ranking, so it is not computed. Ties on score break by ascending cid;
   * an all-zero vector scores 0.0 against every centroid and selects the
-  * lowest cids, matching the previous NaN-cosine tie behavior. A vector
-  * whose length differs from the centroid dimension yields null.
+  * lowest cids, matching the previous NaN-cosine tie behavior; a
+  * zero-norm CENTROID scores NaN and is never selected. A vector whose
+  * length differs from the centroid dimension, or containing a null
+  * element, yields null.
   */
 case class IvfProbes(child: Expression, cids: Array[Long],
     centroids: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
@@ -49,6 +51,9 @@ case class IvfProbes(child: Expression, cids: Array[Long],
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
+  private lazy val elemNullable = child.dataType match {
+    case ArrayType(_, n) => n
+  }
 
   /** Flat row-major centroid matrix + per-centroid norms, shared by eval
     * and codegen (via reference objects).
@@ -66,6 +71,7 @@ case class IvfProbes(child: Expression, cids: Array[Long],
     val vd = new Array[Double](dim)
     var i = 0
     while (i < dim) {
+      if (elemNullable && v.isNullAt(i)) return null
       vd(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }
@@ -79,18 +85,23 @@ case class IvfProbes(child: Expression, cids: Array[Long],
       val off = c * dim
       while (j < dim) { s += vd(j) * flat(off + j); j += 1 }
       s = s / cnorms(c)
-      // insertion position: after all entries strictly better than
-      // (s, cid) under (score desc, cid asc)
-      var pos = filled
-      while (pos > 0 && (topScores(pos - 1) < s ||
-          (topScores(pos - 1) == s && topIds(pos - 1) > cids(c)))) pos -= 1
-      if (pos < nprobe) {
-        val last = math.min(filled, nprobe - 1)
-        var k = last
-        while (k > pos) { topScores(k) = topScores(k - 1); topIds(k) = topIds(k - 1); k -= 1 }
-        topScores(pos) = s
-        topIds(pos) = cids(c)
-        if (filled < nprobe) filled += 1
+      // NaN score (zero-norm centroid, 0/0): never selected — NaN also
+      // never won under the previous when(cos > best) form, and a NaN in
+      // the buffer would block later insertions (all NaN compares false)
+      if (s == s) {
+        // insertion position: after all entries strictly better than
+        // (s, cid) under (score desc, cid asc)
+        var pos = filled
+        while (pos > 0 && (topScores(pos - 1) < s ||
+            (topScores(pos - 1) == s && topIds(pos - 1) > cids(c)))) pos -= 1
+        if (pos < nprobe) {
+          val last = math.min(filled, nprobe - 1)
+          var k = last
+          while (k > pos) { topScores(k) = topScores(k - 1); topIds(k) = topIds(k - 1); k -= 1 }
+          topScores(pos) = s
+          topIds(pos) = cids(c)
+          if (filled < nprobe) filled += 1
+        }
       }
       c += 1
     }
@@ -119,7 +130,11 @@ case class IvfProbes(child: Expression, cids: Array[Long],
          |  ${ev.isNull} = true;
          |} else {
          |  final double[] $vd = new double[$dim];
-         |  for (int $j = 0; $j < $dim; $j++) $vd[$j] = (double) $vec.$getter($j);
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    ${if (elemNullable) s"if ($vec.isNullAt($j)) { ${ev.isNull} = true; break; }" else ""}
+         |    $vd[$j] = (double) $vec.$getter($j);
+         |  }
+         |  if (!${ev.isNull}) {
          |  final long[] $ids = new long[$nprobe];
          |  final double[] $scs = new double[$nprobe];
          |  int $filled = 0;
@@ -128,6 +143,7 @@ case class IvfProbes(child: Expression, cids: Array[Long],
          |    final int $off = $c * $dim;
          |    for (int $j = 0; $j < $dim; $j++) $s += $vd[$j] * $flatRef[$off + $j];
          |    $s = $s / $cnRef[$c];
+         |    if ($s != $s) continue; // NaN (zero-norm centroid): never selected
          |    int $pos = $filled;
          |    while ($pos > 0 && ($scs[$pos - 1] < $s ||
          |        ($scs[$pos - 1] == $s && $ids[$pos - 1] > $cidRef[$c]))) $pos--;
@@ -143,6 +159,7 @@ case class IvfProbes(child: Expression, cids: Array[Long],
          |  }
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
          |    .fromPrimitiveArray(java.util.Arrays.copyOf($ids, $filled));
+         |  }
          |}
        """.stripMargin
     })

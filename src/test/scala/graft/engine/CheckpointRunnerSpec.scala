@@ -80,6 +80,19 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "fully-committed sub-split run must process zero units")
   }
 
+  test("resuming with a different split granularity is rejected (stale outputs would double-count)") {
+    val out = Files.createTempDirectory("graft_ckpt_mix").toString
+    val df = SequenceGen.generate(spark, 2000)
+    val runner = new CheckpointRunner(spark, out)
+    runner.run(df, spec, "doc_id", "source", limit = Some(1))
+    val e = intercept[IllegalArgumentException] {
+      runner.run(df, spec, "doc_id", "source", split = SubSplit.Bucket(3))
+    }
+    assert(e.getMessage.contains("split"))
+    // same split still resumes fine
+    runner.run(df, spec, "doc_id", "source")
+  }
+
   test("range sub-split: unit membership respects cut points; null keys land in unit 0") {
     val out = Files.createTempDirectory("graft_ckpt_rng").toString
     val df = SequenceGen.generate(spark, 4000)
