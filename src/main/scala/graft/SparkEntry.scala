@@ -275,9 +275,12 @@ object SparkEntry {
       TextOps.qualityFeatures(read(s, dir, "documents"), "text")
         .select("doc_id", "n_words", "stopword_ratio", "avg_word_len", "quality")),
 
+    // the fused WordStats pass is projected ONCE as an attribute; the
+    // argmax reads its counters (cheap extracts, no re-scan)
     "txt_langid" -> ((s, dir) =>
-      read(s, dir, "documents").select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang_pred"))),
+      read(s, dir, "documents")
+        .withColumn("_ws", TextOps.wordStats(col("text")))
+        .select(col("doc_id"), TextOps.langIdFromStats(col("_ws")).as("lang_pred"))),
 
     "txt_fingerprint" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
@@ -455,10 +458,12 @@ object SparkEntry {
 
       // every group sees every baseline bucket (groups × baseline domain),
       // full-outer so observed-only buckets keep their p-mass — mirrors
-      // Checks.driftByGroup exactly
+      // Checks.driftByGroup exactly (incl. its null-group exclusion: a
+      // null group key is required-violation territory, not a slice)
       "val_drift" ->
         """WITH h AS (SELECT lang, CAST(floor(n_chars/50.0) AS BIGINT) AS bucket, count(*) AS n
-                      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1,2),
+                      FROM documents
+                      WHERE n_chars IS NOT NULL AND lang IS NOT NULL GROUP BY 1,2),
                 tot AS (SELECT lang, CAST(sum(n) AS DOUBLE) AS t FROM h GROUP BY lang),
                 base AS (SELECT CAST(floor(n_chars/50.0) AS BIGINT) AS bucket,
                          count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS p

@@ -95,15 +95,22 @@ object Checks {
     * group domain first, then full-outer joined with the observed
     * distribution so observed-only buckets keep their p-mass too.
     * Consistent with single-group [[drift]].
+    *
+    * Rows with a NULL group value are excluded up front: a null group
+    * key is not a distribution slice (it is `required`-violation
+    * territory, like null keys in uniqueness), and null keys never match
+    * across the domain⋈observed join — they would surface as disjoint
+    * eps-only p/q rows whose KL/PSI is meaningless.
     */
   def driftByGroup(observed: DataFrame, groupCols: Seq[String],
       baseline: DataFrame, eps: Double = 1e-6): DataFrame = {
     val g = groupCols.map(col)
-    val totals = observed.groupBy(g: _*).agg(sum(col("n")).cast("double").as("_t"))
-    val obsP = observed
+    val obs0 = observed.where(g.map(_.isNotNull).reduce(_ && _))
+    val totals = obs0.groupBy(g: _*).agg(sum(col("n")).cast("double").as("_t"))
+    val obsP = obs0
       .join(totals, groupCols)
       .select(g ++ Seq(col("bucket"), (col("n") / col("_t")).as("p_obs")): _*)
-    val domain = observed.select(g: _*).distinct()
+    val domain = obs0.select(g: _*).distinct()
       .crossJoin(broadcast(baseline.select(col("bucket"), col("p").as("p_base"))))
     domain
       .join(obsP, groupCols :+ "bucket", "full_outer")

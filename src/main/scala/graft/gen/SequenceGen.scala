@@ -1,6 +1,6 @@
 package graft.gen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{GraftColumnBridge => EU}
 import org.apache.spark.sql.functions._
 
@@ -30,8 +30,22 @@ object SequenceGen {
   def isNullDocId(id: Long): Boolean    = id % 2000 == 83
   def isBadDocIdFmt(id: Long): Boolean  = id % 2000 == 97
 
-  /** The canonical doc_id for row `id`: "d" + 10 digits. */
+  /** The canonical doc_id for row `id`: "d" + the id zero-padded to AT
+    * LEAST 10 digits (ids ≥ 10^10 keep all their digits — at the stated
+    * 10^12-row design scale padding must never truncate).
+    */
   def docIdOf(id: Long): String = f"d$id%010d"
+
+  /** [[docIdOf]] as a Catalyst expression. `lpad`, not `format_string`
+    * (java.util.Formatter allocates per row on the hot path) — but
+    * guarded by length: Spark's `lpad(s, 10, "0")` TRUNCATES strings
+    * longer than 10 chars, which above 10^10 rows would silently
+    * collide doc_ids and break the generator's uniqueness invariants.
+    */
+  def docIdExpr(id: Column): Column = {
+    val ids = id.cast("string")
+    concat(lit("d"), when(length(ids) < 10, lpad(ids, 10, "0")).otherwise(ids))
+  }
 
   /** `parts`: explicit range slice count (0 = default parallelism).
     * Output rows are a pure function of `id`, so any slicing yields the
@@ -86,9 +100,8 @@ object SequenceGen {
 
     val nTok = when(id % 1000 === 41, lenA + 1).otherwise(size(tokens)).cast("int")
 
-    // "d" + zero-padded id — lpad, not format_string: java.util.Formatter
-    // allocates per row and this runs on every row of the hot path
-    val docId0 = concat(lit("d"), lpad(id.cast("string"), 10, "0"))
+    // "d" + zero-padded id (see docIdExpr: truncation-safe above 10^10)
+    val docId0 = docIdExpr(id)
     val docId = when(id % 2000 === 83, lit(null).cast("string"))
       .when(id % 2000 === 97, format_string("BAD~%d", id))
       // duplicate of a row that keeps its own id (id-999 ≡ 18 mod 1000),

@@ -93,16 +93,26 @@ object Dedup {
       .select(col(keyCol) +: cols: _*)
   }
 
-  /** All ordered (asc) within-bucket pairs of a sorted array column:
-    * `[(x_i, x_j) | i < j]` as an array of `struct(l, r)`. Pure array
-    * expressions, evaluated once per bucket row.
+  /** Expand each bucket row's item array into its ordered (asc) pairs
+    * `(l, r), l < r` — with O(|bucket|) peak memory per row, never the
+    * O(|bucket|²) pair array in one value: posexplode the sorted array,
+    * then explode each element's tail slice. A cap-sized bucket streams
+    * cap·(cap−1)/2 output ROWS through the generator, but no single row
+    * ever holds more than the cap-sized array itself (a previous design
+    * built the full pair array per bucket row first, which at cap=100k
+    * would be ~5×10⁹ structs in ONE row — an executor OOM by
+    * construction, not a tuning problem).
+    *
+    * The sorted array is materialized as its own attribute first:
+    * a non-cheap multi-referenced alias that CollapseProject keeps
+    * split, so the sort runs once per bucket, not once per reference.
     */
-  private def sortedPairs(items: Column): Column = {
-    val sorted = array_sort(items)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, size(sorted) - i - 1),
-        y => struct(x.as("l"), y.as("r")))))
-  }
+  private def explodePairs(buckets: DataFrame, items: String): DataFrame =
+    buckets
+      .select(array_sort(col(items)).as("_s"))
+      .select(posexplode(col("_s")).as(Seq("_i", "l")), col("_s"))
+      .select(col("l"),
+        explode(slice(col("_s"), col("_i") + 2, size(col("_s")) - col("_i") - 1)).as("r"))
 
   /** LSH candidate pairs from minhash signatures: band the signature
     * (rows-per-band=2), group keys by (band index, banded values), emit
@@ -112,25 +122,28 @@ object Dedup {
     * no self-join, no persist) and one shuffle keyed by band value:
     * collision buckets only, never the corpus cross product. `maxBucket`
     * caps degenerate buckets (e.g. an all-identical boilerplate band at
-    * corpus scale) so no single bucket goes quadratic; capped buckets
-    * are dropped — at 10^12 docs a bucket past the cap is boilerplate
-    * whose pairs belong to exact dedup, not near-dup.
+    * corpus scale): buckets past the cap are dropped — at 10^12 docs a
+    * bucket past the cap is boilerplate whose pairs belong to exact
+    * dedup, not near-dup. The default cap (2,000) is sized so a
+    * cap-sized bucket's pair OUTPUT (~2×10⁶ rows, streamed through
+    * [[explodePairs]] at O(cap) memory per row) stays a trivial task,
+    * not a memory event.
     */
   def minhashCandidatePairs(sig: DataFrame, keyCol: String, k: Int = 8,
-      rowsPerBand: Int = 2, maxBucket: Int = 100000): DataFrame = {
+      rowsPerBand: Int = 2, maxBucket: Int = 2000): DataFrame = {
     val nBands = k / rowsPerBand
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("idx"),
         struct((0 until rowsPerBand).map(r =>
           col(s"m${b * rowsPerBand + r}").as(s"s$r")): _*).as("sig"))
     }: _*)
-    sig
+    val buckets = sig
       .select(col(keyCol).as("id"), explode(bandArr).as("bd"))
       .groupBy(col("bd.idx").as("band_idx"), col("bd.sig").as("band"))
       .agg(collect_list(col("id")).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
-      .select(explode(sortedPairs(col("ids"))).as("p"))
-      .select(col("p.l").as("a"), col("p.r").as("b"))
+    explodePairs(buckets, "ids")
+      .select(col("l").as("a"), col("r").as("b"))
       .distinct()
   }
 
@@ -179,23 +192,26 @@ object Dedup {
     * shingle shared by millions of docs would otherwise create one
     * quadratic bucket — the scale-killer at 10^12 docs. Shingles past
     * the cap carry ~zero Jaccard signal (they are corpus-wide noise,
-    * the IDF≈0 regime) and are excluded from intersection counts.
+    * the IDF≈0 regime) and are excluded from intersection counts. As
+    * with [[minhashCandidatePairs]], the default cap (2,000) is sized
+    * so a cap-df shingle's pair output is streamed rows, not an in-row
+    * array; pair expansion is O(df) memory per row via [[explodePairs]].
     * At scale this runs AFTER LSH candidate filtering; standalone it is
     * the exact verification step.
     */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
-      threshold: Double, maxDf: Int = 100000): DataFrame = {
+      threshold: Double, maxDf: Int = 2000): DataFrame = {
     val inv = df
       .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    inv
+    val buckets = inv
       .groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("docs"))
       .where(size(col("docs")).between(2, maxDf))
-      .select(explode(sortedPairs(col("docs"))).as("p"))
+    explodePairs(buckets, "docs")
       .select(
-        col("p.l.id").as("a"), col("p.r.id").as("b"),
-        col("p.l.n_sh").as("na"), col("p.r.n_sh").as("nb"))
+        col("l.id").as("a"), col("r.id").as("b"),
+        col("l.n_sh").as("na"), col("r.n_sh").as("nb"))
       .groupBy(col("a"), col("b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -77,8 +77,14 @@ object Similarity {
   final class TopKByScore[K: scala.reflect.runtime.universe.TypeTag](k: Int)(
       implicit ord: Ordering[K])
       extends Aggregator[Cand[K], TopKBuf[K], Seq[Cand[K]]] {
-    private def lt(a: Cand[K], b: Cand[K]): Boolean =
-      a.score > b.score || (a.score == b.score && ord.lt(a.key, b.key))
+    // Double.compare, not >: Spark orders NaN as GREATEST (so the
+    // row_number window this aggregator must equal ranks NaN scores
+    // first under desc — e.g. a zero-norm vector's cosine). `>` would
+    // never rank a NaN and silently diverge from the window.
+    private def lt(a: Cand[K], b: Cand[K]): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && ord.lt(a.key, b.key))
+    }
 
     override def zero: TopKBuf[K] = TopKBuf(Vector.empty)
 
@@ -153,9 +159,20 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket id of a vector under the given hyperplanes:
-    * bit j = 1 iff dot(v, plane_j) > 0. Pure expressions, no UDF.
+    * bit j = 1 iff dot(v, plane_j) > 0. Each plane is one codegen'd
+    * [[DotProd]] against a plan-constant literal — a fused primitive
+    * loop per plane, no boxing, whole stage stays in codegen (the
+    * previous `aggregate(zip_with(...))` folds were eval-only and
+    * dropped the corpus-scan stage out of codegen).
+    * ≡ [[lshBucketRef]], asserted by OpsSpec.
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, typedlit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** HOF reference form of [[lshBucket]] — differential oracle. */
+  def lshBucketRef(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val dot = aggregate(
         zip_with(vec, typedlit(p.toSeq), (x, w) => x.cast("double") * w),

@@ -5,9 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, and document
-  * fingerprinting. All are pure Catalyst expressions (no UDFs), so they
-  * stay inside whole-stage codegen and scale scan-bound: one projection
-  * pass per partition, no shuffle.
+  * fingerprinting. Scale design: all are shuffle-free projections, and
+  * the per-word scan work (stopword/marker counting, rolling hash) runs
+  * through the fused codegen'd [[WordStats]] expression — one split and
+  * one md5 per word feeding every counter, inside whole-stage codegen.
+  * The declarative higher-order-function forms are retained below as
+  * `*Ref` differential oracles (HOFs are eval-only: one in a projection
+  * drops the whole stage out of codegen and boxes every element — the
+  * measured rule that motivated the kernel).
   *
   * Hash portability: [[portableHash]] derives a 60-bit integer from the
   * md5 hex digest, which any engine (including the DuckDB oracle) can
@@ -38,10 +43,47 @@ object TextOps {
   /** A small English stopword list shared with the oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 
+  // [[WordStats]] output layout
+  private val WsWords = 0
+  private val WsStop = 1
+  private val WsHits0 = 2
+  private def wsRolling: Int = WsHits0 + LangMarkers.length
+
+  /** The fused [[WordStats]] kernel column: `[nWords, nStop,
+    * markerHits(per language), rollingFp]` in one codegen'd pass.
+    * Multi-statistic consumers should materialize this ONCE as its own
+    * attribute (see [[qualityFeatures]]) so CollapseProject cannot
+    * duplicate the scan per reference site.
+    */
+  def wordStats(text: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(WordStats(EU.expression(text), Stopwords, LangMarkers.map(_._2), HashPrime))
+  }
+
   /** Quality features: word count, stopword ratio, average word length,
-    * and a [0,1] quality score. Deterministic arithmetic only.
+    * and a [0,1] quality score. Deterministic arithmetic over the fused
+    * [[wordStats]] pass, projected as an attribute once — every derived
+    * column reads counters from it (cheap array extracts), so the text
+    * is split and hashed exactly once per row.
+    * ≡ [[qualityFeaturesRef]], asserted by OpsSpec.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val ws = col("_ws")
+    val nWords = ws.getItem(WsWords)
+    val nStop = ws.getItem(WsStop)
+    val avgLen = (length(col(textCol)) - (nWords - 1)).cast("double") / nWords
+    df.withColumn("_ws", wordStats(col(textCol)))
+      .withColumn("n_words", nWords)
+      .withColumn("stopword_ratio", round(nStop.cast("double") / nWords, 6))
+      .withColumn("avg_word_len", round(avgLen, 6))
+      .withColumn("quality",
+        round(least(nStop.cast("double") / nWords * lit(2.0), lit(1.0)) * 0.5 +
+          least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5, 6))
+      .drop("_ws")
+  }
+
+  /** HOF reference form of [[qualityFeatures]] — differential oracle. */
+  def qualityFeaturesRef(df: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))
     val nWords = size(w).cast("long")
     val nStop = size(filter(w, x => x.isin(Stopwords: _*))).cast("long")
@@ -65,9 +107,24 @@ object TextOps {
 
   /** Heuristic language ID: count marker-word hits per language; argmax
     * with fixed priority order on ties; "und" (undetermined) when no
-    * marker hits at all.
+    * marker hits at all. Scores come from a [[wordStats]] column already
+    * projected as an attribute (cheap array extracts — no re-scan).
     */
-  def langId(text: Column): Column = {
+  def langIdFromStats(ws: Column): Column = {
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> ws.getItem(WsHits0 + i)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** [[langIdFromStats]] over a single-use [[wordStats]] scan. */
+  def langId(text: Column): Column = langIdFromStats(wordStats(text))
+
+  /** HOF reference form of [[langId]] — differential oracle. */
+  def langIdRef(text: Column): Column = {
     val w = words(text)
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(w, x => x.isin(markers: _*)))
@@ -85,9 +142,15 @@ object TextOps {
     md5(regexp_replace(lower(trim(text)), " +", " ").cast("binary"))
 
   /** Rolling polynomial hash over words (order-sensitive, unlike the
-    * bag-of-words fingerprint): fold h = (h*31 + bucketHash(w)) mod p.
+    * bag-of-words fingerprint): fold h = (h*31 + bucketHash(w)) mod p,
+    * computed by the fused codegen'd [[WordStats]] kernel.
+    * ≡ [[rollingFingerprintRef]], asserted by OpsSpec.
     */
   def rollingFingerprint(text: Column): Column =
+    wordStats(text).getItem(wsRolling)
+
+  /** HOF reference form of [[rollingFingerprint]] — differential oracle. */
+  def rollingFingerprintRef(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, x) => (acc * 31L + bucketHash(x)) % HashPrime)
 }

@@ -64,6 +64,20 @@ class ChecksSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(d3.getDouble(1) > 1.0, "a group entirely outside the baseline must score high")
   }
 
+  test("driftByGroup excludes null group keys (no eps-only ghost rows)") {
+    import spark.implicits._
+    // a null group key never matches itself across the domain⋈observed
+    // join — it would produce disjoint eps-only p/q rows with garbage
+    // KL/PSI; it is excluded as required-violation territory instead
+    val observed = Seq(
+      (Some("g1"), 0L, 50L), (Some("g1"), 1L, 50L),
+      (None, 0L, 10L)).toDF("g", "bucket", "n")
+    val baseline = Seq((0L, 0.5), (1L, 0.5)).toDF("bucket", "p")
+    val rows = Checks.driftByGroup(observed, Seq("g"), baseline).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "g1")
+    assert(math.abs(rows(0).getDouble(1)) < 1e-4)
+  }
+
   test("HLL approx_distinct tracks exact countDistinct within 3x the configured rsd") {
     val big = SequenceGen.generate(spark, 20000)
     val approx = TableProfiler.profile(big)

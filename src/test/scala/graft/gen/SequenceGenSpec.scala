@@ -66,4 +66,13 @@ class SequenceGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ids.forall(_.matches("d\\d{10}")))
     assert(ids.contains(SequenceGen.docIdOf(42)))
   }
+
+  test("docIdExpr never truncates: ids at/above 10^10 keep all digits and agree with docIdOf") {
+    import spark.implicits._
+    val big = Seq(0L, 7L, 9999999999L, 10000000000L, 10000000001L, 123456789012L)
+    val got = big.toDF("id").select(SequenceGen.docIdExpr(col("id")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == big.map(SequenceGen.docIdOf))
+    assert(got.distinct.length == big.length, "no collisions from padding truncation")
+  }
 }

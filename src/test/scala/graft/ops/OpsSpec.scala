@@ -288,4 +288,77 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val r = d2.select(TextOps.rollingFingerprint(col("text"))).as[Long].collect()
     assert(r(0) != r(1))
   }
+
+  test("fused WordStats kernels ≡ HOF reference forms (quality, langid, rolling; edges incl. null)") {
+    val edge = Seq("", "the", "el la de", "ünïcødé wörds hère", "x  y   z",
+      " lead", "trail ", "the the the the").map(Tuple1(_)).toDF("text")
+      .union(Seq(Tuple1(null.asInstanceOf[String])).toDF("text"))
+    val all = docs.select(col("text")).union(edge)
+
+    val q = TextOps.qualityFeatures(all, "text")
+      .select("text", "n_words", "stopword_ratio", "avg_word_len", "quality").collect()
+    val qRef = TextOps.qualityFeaturesRef(all, "text")
+      .select("text", "n_words", "stopword_ratio", "avg_word_len", "quality").collect()
+    q.zip(qRef).foreach { case (a, b) => assert(a == b, s"quality mismatch: $a vs $b") }
+
+    val l = all.select(TextOps.langId(col("text")), TextOps.langIdRef(col("text"))).collect()
+    l.foreach(r => assert(r.get(0) == r.get(1), s"langid mismatch: $r"))
+
+    val f = all.select(TextOps.rollingFingerprint(col("text")),
+      TextOps.rollingFingerprintRef(col("text"))).collect()
+    f.foreach(r => assert(r.get(0) == r.get(1), s"rolling mismatch: $r"))
+  }
+
+  test("fused lshBucket (DotProd planes) ≡ HOF reference form") {
+    val planes = Similarity.hyperplanes(8, 16)
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "v")
+    val rows = vecs.select(
+      Similarity.lshBucket(col("v"), planes).as("fast"),
+      Similarity.lshBucketRef(col("v"), planes).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // buckets actually spread (planes are non-degenerate)
+    assert(rows.map(_.getLong(0)).distinct.length > 10)
+  }
+
+  test("pair expansion is O(bucket) per row: a 50k-doc degenerate bucket completes (capped out)") {
+    // 50k identical docs → every band bucket holds all 50k ids. Under
+    // the old in-row expansion that is ~1.25e9 pair structs in ONE row;
+    // with the default cap (2000) the bucket is dropped and the query
+    // completes in seconds. ngram side: one shared shingle, df=50k.
+    val big = spark.range(50000).select(col("id").as("doc_id"), lit("w1 w2 w3 w4").as("text"))
+    val sig = Dedup.minhashSignature(big, "doc_id", "text")
+    assert(Dedup.minhashCandidatePairs(sig, "doc_id").count() == 0L)
+    assert(Dedup.ngramJaccardPairs(big, "doc_id", "text", 0.1).count() == 0L)
+  }
+
+  test("pair expansion emits exactly the i<j pairs of an in-cap bucket") {
+    // 60 identical docs, cap not hit → all 60*59/2 pairs, each once
+    val small = spark.range(60).select(col("id").as("doc_id"), lit("p q r s").as("text"))
+    val sig = Dedup.minhashSignature(small, "doc_id", "text")
+    val pairs = Dedup.minhashCandidatePairs(sig, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 60 * 59 / 2)
+    assert(pairs.toSet == (for { a <- 0L until 60L; b <- a + 1 until 60L } yield (a, b)).toSet)
+  }
+
+  test("bruteForceTopKAgg ≡ window on NaN scores (NaN corpus vector)") {
+    // vec 2 carries a NaN component: its cosine is NaN (under ANSI a
+    // zero norm would throw instead — NaN inputs are the reachable NaN
+    // path). Spark sorts NaN greatest, so under desc it ranks FIRST —
+    // the aggregator's Double.compare ordering must agree
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(Float.NaN, 0.5f)), (3L, Array(0.8f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    val win = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 3))
+    val agg = rows(Similarity.bruteForceTopKAgg(vecs, "vec_id", "embedding", q, "qid", "qvec", 3))
+    assert(win.head._1 == 2L, "window ranks the NaN score first (Spark NaN-greatest)")
+    assert(agg == win)
+  }
 }
