@@ -549,71 +549,123 @@ object SpecCompiler {
 
   // --- enum / disallow helpers ---
 
-  private def enumPass(allowed: Seq[JValue], dt: DataType): Column => Column = {
-    def lits: Seq[Any] = dt match {
-      case StringType => allowed.collect { case JString(s) => s }
-      case d if isIntegral(d) =>
-        allowed.collect {
-          case JInt(i)                    => i.toLong
-          case JLong(l)                   => l
-          case JDecimal(x) if x.isWhole   => x.toLong
-          case JDouble(x) if x.isWhole    => x.toLong
-        }
-      case d if isNumeric(d) =>
-        allowed.collect {
-          case JInt(i)     => i.toDouble
-          case JLong(l)    => l.toDouble
-          case JDecimal(x) => x.toDouble
-          case JDouble(x)  => x
-        }
-      case BooleanType => allowed.collect { case JBool(b) => b }
-      case _           => Nil
-    }
-    dt match {
-      case at: ArrayType =>
-        // deep structural equality against element-typed array literals
-        // (matches the oracle's jsonEq numeric-value equality). Enum
-        // values not representable in the physical element type can
-        // never match and are skipped; element types with no portable
-        // literal form (struct/map/array) are a documented
-        // unsupported-spec error — never silent truncation.
-        val arrays = allowed.collect { case JArray(xs) => arrayEnumLit(xs, at.elementType) }
-          .flatten
-        c => arrays.map(a => c === a).reduceOption(_ || _).getOrElse(FalseC)
-      case _ =>
-        val vs = lits
-        c => if (vs.isEmpty) FalseC else c.isin(vs: _*)
-    }
+  /** Deep-equality enum check (matches the oracle's `jsonEq`: structural
+    * equality with numeric-value equality across representations —
+    * reference compares aeson `Value`s, Validator.hs:47,77).
+    *
+    * Primitive columns use `isin` (one codegen'd `In`). Complex columns
+    * compare against typed literals built by [[jsonLit]]: Catalyst
+    * `===` is structural for arrays and structs (interior nulls compare
+    * as values, matching the engine's null≡absent collapse); MapType
+    * columns — where `===` is unsupported — compare key-sorted entry
+    * arrays, a canonical form both sides share. Enum values not
+    * representable in the physical type can never match and are skipped;
+    * types the compiler cannot order (a map nested below the top level)
+    * are a documented unsupported-spec error — never silent truncation.
+    */
+  private def enumPass(allowed: Seq[JValue], dt: DataType): Column => Column = dt match {
+    case _: ArrayType | _: StructType | _: MapType =>
+      val eqs: Seq[Column => Column] = dt match {
+        case mt: MapType =>
+          requireMapFree(mt.valueType, s"enum over ${dt.simpleString}")
+          allowed.flatMap(v => jsonLit(v, mt).map(l =>
+            (c: Column) => array_sort(map_entries(c)) === array_sort(map_entries(l))))
+        case _ =>
+          requireMapFree(dt, s"enum over ${dt.simpleString}")
+          allowed.flatMap(v => jsonLit(v, dt).map(l => (c: Column) => c === l))
+      }
+      c => eqs.map(_(c)).reduceOption(_ || _).getOrElse(FalseC)
+    case _ =>
+      val vs: Seq[Any] = dt match {
+        case StringType => allowed.collect { case JString(s) => s }
+        case d if isIntegral(d) =>
+          allowed.collect {
+            case JInt(i)                  => i.toLong
+            case JLong(l)                 => l
+            case JDecimal(x) if x.isWhole => x.toLong
+            case JDouble(x) if x.isWhole  => x.toLong
+          }
+        case d if isNumeric(d) =>
+          allowed.collect {
+            case JInt(i)     => i.toDouble
+            case JLong(l)    => l.toDouble
+            case JDecimal(x) => x.toDouble
+            case JDouble(x)  => x
+          }
+        case BooleanType => allowed.collect { case JBool(b) => b }
+        case _           => Nil
+      }
+      c => if (vs.isEmpty) FalseC else c.isin(vs: _*)
   }
 
-  /** Typed literal for one enum array value against the physical element
-    * type; None when the value cannot equal any array of that type.
+  /** Catalyst `===` cannot order maps; reject them anywhere below the
+    * enum's top level (where the sorted-entries canonicalization above
+    * cannot reach) instead of silently compiling constant-false.
     */
-  private def arrayEnumLit(xs: Seq[JValue], et: DataType): Option[Column] = {
-    def num(v: JValue): Option[BigDecimal] = v match {
-      case JInt(i)     => Some(BigDecimal(i))
-      case JLong(l)    => Some(BigDecimal(l))
-      case JDecimal(d) => Some(d)
-      case JDouble(d)  => Some(BigDecimal(d))
-      case _           => None
-    }
-    et match {
-      case t if isIntegral(t) =>
-        val ls = xs.map(num(_).filter(n => n.isWhole && n.isValidLong).map(_.toLong))
-        if (ls.forall(_.isDefined)) Some(typedlit(ls.map(_.get))) else None
-      case t if isNumeric(t) =>
-        val ds = xs.map(num(_).map(_.toDouble))
-        if (ds.forall(_.isDefined)) Some(typedlit(ds.map(_.get))) else None
-      case StringType =>
-        val ss = xs.map { case JString(s) => Some(s); case _ => None }
-        if (ss.forall(_.isDefined)) Some(typedlit(ss.map(_.get))) else None
-      case BooleanType =>
-        val bs = xs.map { case JBool(b) => Some(b); case _ => None }
-        if (bs.forall(_.isDefined)) Some(typedlit(bs.map(_.get))) else None
-      case other =>
-        throw new IllegalArgumentException(
-          s"enum over array<${other.simpleString}> is not supported by the compiler")
-    }
+  private def requireMapFree(dt: DataType, what: String): Unit = dt match {
+    case _: MapType => throw new IllegalArgumentException(
+      s"$what is not supported by the compiler (nested map equality)")
+    case ArrayType(et, _) => requireMapFree(et, what)
+    case st: StructType   => st.fields.foreach(f => requireMapFree(f.dataType, what))
+    case _                => ()
+  }
+
+  private def jsonNum(v: JValue): Option[BigDecimal] = v match {
+    case JInt(i)     => Some(BigDecimal(i))
+    case JLong(l)    => Some(BigDecimal(l))
+    case JDecimal(d) => Some(d)
+    case JDouble(d)  => Some(BigDecimal(d))
+    case _           => None
+  }
+
+  /** A typed Catalyst literal for a JSON value against a physical type;
+    * None when the value cannot equal any value of that type (a
+    * constant non-match, not an error). JSON object fields absent from a
+    * StructType's fields become NULL fields — the engine's null≡absent
+    * collapse — while an object field the struct cannot represent makes
+    * the whole value unmatchable. Shared by enum deep equality and
+    * `default` application ([[graft.engine.ValidationEngine.applyDefaults]]).
+    */
+  private[graft] def jsonLit(v: JValue, dt: DataType): Option[Column] = (v, dt) match {
+    case (JString(s), StringType) => Some(lit(s))
+    case (JBool(b), BooleanType)  => Some(lit(b))
+    case (n, t) if isIntegral(t)  =>
+      jsonNum(n).filter(x => x.isWhole && x.isValidLong).map(x => lit(x.toLong))
+    case (n, t) if isNumeric(t)   => jsonNum(n).map(x => lit(x.toDouble))
+    case (JArray(xs), at: ArrayType) =>
+      val elems = xs.map {
+        case JNull => if (at.containsNull) Some(lit(null).cast(at.elementType)) else None
+        case x     => jsonLit(x, at.elementType)
+      }
+      if (!elems.forall(_.isDefined)) None
+      else if (xs.isEmpty) Some(array().cast(ArrayType(at.elementType, at.containsNull)))
+      else Some(array(elems.map(_.get): _*))
+    case (JObject(fields), st: StructType) =>
+      val m = fields.toMap
+      if (!m.keySet.subsetOf(st.fieldNames.toSet)) None
+      else {
+        val cols = st.fields.toSeq.map { f =>
+          m.get(f.name) match {
+            case None | Some(JNull) => Some(lit(null).cast(f.dataType).as(f.name))
+            case Some(x)            => jsonLit(x, f.dataType).map(_.as(f.name))
+          }
+        }
+        if (cols.forall(_.isDefined)) Some(struct(cols.map(_.get): _*)) else None
+      }
+    case (JObject(fields), mt: MapType) =>
+      val kvs = fields.map { case (k, fv) =>
+        fv match {
+          case JNull => Some(Seq(lit(k), lit(null).cast(mt.valueType)))
+          case x     => jsonLit(x, mt.valueType).map(l => Seq(lit(k), l))
+        }
+      }
+      if (!kvs.forall(_.isDefined)) None
+      else if (fields.isEmpty)
+        Some(map_from_arrays(
+          array().cast(ArrayType(StringType)),
+          array().cast(ArrayType(mt.valueType))))
+      else Some(map(kvs.flatMap(_.get): _*))
+    case _ => None
   }
 
   /** Runtime type-match of a disallow arm against the physical type

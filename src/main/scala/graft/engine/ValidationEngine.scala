@@ -25,6 +25,52 @@ object ValidationEngine {
   def annotate(df: DataFrame, spec: SchemaSpec): DataFrame =
     annotateWith(df, SpecCompiler.compileTable(spec, df.schema))
 
+  /** Fill absent (NULL) properties with their spec `default` before
+    * validation — parity with the reference's COMPILED path, whose
+    * generated parsers substitute `schemaDefault` when a property is
+    * missing (reference: src/Data/Aeson/Schema/CodeGen.hs:342-350); the
+    * reference interpreter does not apply defaults, so this is an
+    * explicit opt-in projection, not part of [[annotate]].
+    *
+    * Top-level properties use `coalesce(col, defaultLit)`; properties
+    * that are themselves structs recurse, rebuilding the struct with
+    * defaulted fields (absent = NULL under the engine's null≡absent
+    * collapse). Defaults not representable in the physical column type
+    * are ignored (the reference would fail parsing such data anyway).
+    * One projection, codegen'd, shuffle-free.
+    */
+  def applyDefaults(df: DataFrame, spec: SchemaSpec): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    def defaulted(sub: SchemaSpec, dt: DataType, c: Column): Column = {
+      val filled = sub.default.flatMap(d => SpecCompiler.jsonLit(d, dt))
+        .map(dl => coalesce(c, dl)).getOrElse(c)
+      dt match {
+        case st: StructType if sub.properties.exists { case (n, p) =>
+              st.fieldNames.contains(n) && hasDefaults(p) } =>
+          val fields = st.fields.toSeq.map { f =>
+            sub.properties.get(f.name) match {
+              case Some(p) => defaulted(p, f.dataType, filled.getField(f.name)).as(f.name)
+              case None    => filled.getField(f.name).as(f.name)
+            }
+          }
+          // a wholly-absent struct stays NULL (absent ≠ empty object)
+          when(filled.isNull, filled).otherwise(struct(fields: _*))
+        case _ => filled
+      }
+    }
+    def hasDefaults(s: SchemaSpec): Boolean =
+      s.default.isDefined || s.properties.values.exists(hasDefaults)
+
+    val schema = df.schema
+    spec.properties.foldLeft(df) { case (acc, (name, sub)) =>
+      schema.fields.find(_.name == name) match {
+        case Some(f) if hasDefaults(sub) =>
+          acc.withColumn(name, defaulted(sub, f.dataType, col(name)))
+        case _ => acc
+      }
+    }
+  }
+
   def annotateWith(df: DataFrame, constraints: Seq[CompiledConstraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints compiled — empty spec?")
     // Fast path: `valid` is a pure boolean conjunction (no allocation).

@@ -15,15 +15,21 @@ import org.json4s.jackson.JsonMethods
 object SchemaParser {
 
   /** Parse schema JSON text. Numbers parse as BigDecimal for exactness
-    * (the reference uses arbitrary-precision Scientific).
+    * (the reference uses arbitrary-precision Scientific). `dialect`
+    * selects how `pattern`/`patternProperties` sources are read:
+    * [[PatternDialect.Java]] (default, = `rlike`) or the opt-in
+    * [[PatternDialect.Posix]] matching the reference's regex-tdfa ERE
+    * (translated once here, so engine and oracle share the result).
     */
-  def parse(jsonText: String): SchemaSpec =
-    fromJson(JsonMethods.parse(jsonText, useBigDecimalForDouble = true))
+  def parse(jsonText: String,
+      dialect: PatternDialect = PatternDialect.Java): SchemaSpec =
+    fromJson(JsonMethods.parse(jsonText, useBigDecimalForDouble = true), dialect)
 
   def parseValue(jsonText: String): JValue =
     JsonMethods.parse(jsonText, useBigDecimalForDouble = true)
 
-  def fromJson(j: JValue): SchemaSpec = j match {
+  def fromJson(j: JValue,
+      dialect: PatternDialect = PatternDialect.Java): SchemaSpec = j match {
     case JObject(fields) =>
       val m = fields.toMap
       def opt(k: String): Option[JValue] = m.get(k).filter(_ != JNull)
@@ -44,7 +50,7 @@ object SchemaParser {
           SchemaType.fromName(s)
             .map(Left(_))
             .getOrElse(throw new IllegalArgumentException(s"unknown type '$s'"))
-        case o: JObject => Right(fromJson(o))
+        case o: JObject => Right(fromJson(o, dialect))
         case other =>
           throw new IllegalArgumentException(s"bad type entry: $other")
       }
@@ -61,22 +67,22 @@ object SchemaParser {
         else ts
       }
       val properties = opt("properties") match {
-        case Some(JObject(ps)) => ps.map { case (k, v) => k -> fromJson(v) }.toMap
+        case Some(JObject(ps)) => ps.map { case (k, v) => k -> fromJson(v, dialect) }.toMap
         case _                 => Map.empty[String, SchemaSpec]
       }
       val patternProperties = opt("patternProperties") match {
         case Some(JObject(ps)) =>
-          ps.map { case (k, v) => SPattern(k) -> fromJson(v) }
+          ps.map { case (k, v) => SPattern(dialect.toJava(k)) -> fromJson(v, dialect) }
         case _ => Nil
       }
       def boolOrSchema(k: String): Either[Boolean, SchemaSpec] = opt(k) match {
         case Some(JBool(b))   => Left(b)
-        case Some(o: JObject) => Right(fromJson(o))
+        case Some(o: JObject) => Right(fromJson(o, dialect))
         case _                => Left(true)
       }
       val items = opt("items") match {
-        case Some(JArray(vs)) => Some(Right(vs.map(fromJson)))
-        case Some(o: JObject) => Some(Left(fromJson(o)))
+        case Some(JArray(vs)) => Some(Right(vs.map(fromJson(_, dialect))))
+        case Some(o: JObject) => Some(Left(fromJson(o, dialect)))
         case _                => None
       }
       val dependencies = opt("dependencies") match {
@@ -84,7 +90,7 @@ object SchemaParser {
           ds.map {
             case (k, JString(p))  => k -> Left(Seq(p))
             case (k, JArray(ps))  => k -> Left(ps.collect { case JString(p) => p })
-            case (k, o: JObject)  => k -> Right(fromJson(o))
+            case (k, o: JObject)  => k -> Right(fromJson(o, dialect))
             case (k, other) =>
               throw new IllegalArgumentException(s"bad dependency '$k': $other")
           }.toMap
@@ -111,7 +117,7 @@ object SchemaParser {
         minItems = int("minItems", 0),
         maxItems = num("maxItems").map(_.toInt),
         uniqueItems = bool("uniqueItems", dflt = false),
-        pattern = str("pattern").map(SPattern(_)),
+        pattern = str("pattern").map(src => SPattern(dialect.toJava(src))),
         minLength = int("minLength", 0),
         maxLength = num("maxLength").map(_.toInt),
         enumValues = enumVals,
@@ -122,7 +128,7 @@ object SchemaParser {
         format = str("format"),
         divisibleBy = num("divisibleBy"),
         disallow = singleOrArray("disallow").map(typeChoice),
-        extendsSchemas = singleOrArray("extends").map(fromJson),
+        extendsSchemas = singleOrArray("extends").map(fromJson(_, dialect)),
         id = str("id"),
         ref = str("$ref"),
         dSchema = str("$schema")
@@ -134,9 +140,10 @@ object SchemaParser {
   /** Parse a named schema graph `{name: schemaJson, ...}`
     * (reference: `Graph f ref = Map ref (f ref)`, Types.hs:137-138).
     */
-  def parseGraph(jsonText: String): Map[String, SchemaSpec] =
+  def parseGraph(jsonText: String,
+      dialect: PatternDialect = PatternDialect.Java): Map[String, SchemaSpec] =
     JsonMethods.parse(jsonText, useBigDecimalForDouble = true) match {
-      case JObject(fields) => fields.map { case (k, v) => k -> fromJson(v) }.toMap
+      case JObject(fields) => fields.map { case (k, v) => k -> fromJson(v, dialect) }.toMap
       case other =>
         throw new IllegalArgumentException(s"graph must be a JSON object, got $other")
     }

@@ -19,6 +19,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *   - `graph`: named schemas for `$ref` resolution
   *   - `engineSkip`: JSON-level verdict depends on null≠absent, which
   *     SQL NULL cannot represent (documented collapse, SURVEY.md §7.4)
+  *   - `dialect` (group-level): `"posix"` parses the group's patterns as
+  *     POSIX ERE via the opt-in translation (SURVEY.md §7.3) — both
+  *     engines then execute the translated pattern
   */
 class Draft3FixtureSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
@@ -44,10 +47,15 @@ class Draft3FixtureSpec extends AnyFunSuite with SparkSessionTestWrapper {
     groups.foreach { g =>
       val gm = g.asInstanceOf[JObject].obj.toMap
       val desc = gm.get("description").collect { case JString(s) => s }.getOrElse("")
-      val spec = SchemaParser.fromJson(gm("schema"))
+      val dialect = gm.get("dialect") match {
+        case Some(JString("posix")) => PatternDialect.Posix
+        case _                      => PatternDialect.Java
+      }
+      val spec = SchemaParser.fromJson(gm("schema"), dialect)
       val graph = gm.get("graph") match {
-        case Some(JObject(fields)) => fields.map { case (k, v) => k -> SchemaParser.fromJson(v) }.toMap
-        case _                     => Map.empty[String, SchemaSpec]
+        case Some(JObject(fields)) =>
+          fields.map { case (k, v) => k -> SchemaParser.fromJson(v, dialect) }.toMap
+        case _ => Map.empty[String, SchemaSpec]
       }
       val JArray(tests) = gm("tests"): @unchecked
       tests.foreach { t =>

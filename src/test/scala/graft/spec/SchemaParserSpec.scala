@@ -70,6 +70,46 @@ class SchemaParserSpec extends AnyFunSuite {
     }
   }
 
+  test("PosixRegex translates POSIX classes to Java equivalents; rejects non-ERE syntax") {
+    import java.util.regex.Pattern
+    assert(PosixRegex.translate("[[:digit:]]") == "[\\p{Digit}]")
+    assert(PosixRegex.translate("^[^[:space:]]+$") == "^[^\\p{Space}]+$")
+    assert(PosixRegex.translate("a[[:alpha:]_-]b") == "a[\\p{Alpha}_-]b")
+    // classes outside brackets are untouched text
+    assert(PosixRegex.translate("x[:y:]z") == "x[:y:]z".replace("[", "[")) // no class context
+    // literal '[' inside a bracket is escaped (Java nests classes)
+    assert(PosixRegex.translate("[a[b]") == "[a\\[b]")
+    // leading ']' is a POSIX literal and gets escaped for Java
+    assert(Pattern.compile(PosixRegex.translate("[]x]")).matcher("]").find())
+    // semantic checks through compiled Java patterns
+    def m(posix: String, s: String) =
+      Pattern.compile(PosixRegex.translate(posix)).matcher(s).find()
+    assert(m("^[[:xdigit:]]+$", "7fA9"))
+    assert(!m("^[[:xdigit:]]+$", "7gA9"))
+    assert(m("[[:punct:]]", "a,b"))
+    assert(!m("[[:punct:]]", "ab"))
+    assertThrows[IllegalArgumentException](PosixRegex.translate("(a)\\1"))
+    assertThrows[IllegalArgumentException](PosixRegex.translate("[[.hyphen.]]"))
+    assertThrows[IllegalArgumentException](PosixRegex.translate("[[:nope:]]"))
+    assertThrows[IllegalArgumentException](PosixRegex.translate("[[:alpha]"))
+  }
+
+  test("posix dialect opt-in threads through pattern and patternProperties; default stays Java") {
+    val json = """{"type":"object",
+      "properties": {"name": {"type":"string", "pattern": "^[[:alpha:]]+$"}},
+      "patternProperties": {"^[[:lower:]]+$": {"type":"string"}}}"""
+    val posix = SchemaParser.parse(json, PatternDialect.Posix)
+    assert(posix.properties("name").pattern.get.source == "^[\\p{Alpha}]+$")
+    assert(posix.properties("name").pattern.get.matches("abc"))
+    assert(!posix.properties("name").pattern.get.matches("ab1"))
+    assert(posix.patternProperties.head._1.matches("abc") &&
+      !posix.patternProperties.head._1.matches("Abc"))
+    // Java dialect leaves the source untranslated (and silently-different
+    // semantics — exactly why posix is opt-in)
+    val java = SchemaParser.parse(json)
+    assert(java.properties("name").pattern.get.source == "^[[:alpha:]]+$")
+  }
+
   test("recursive $ref unrolls to bounded depth") {
     val g = SchemaParser.parseGraph(
       """{"node":{"type":"object",
