@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: checkpointed validation of a sequences table.
   *
   * Usage:
-  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N]
+  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]
   *
   * Runs the full pipeline — row-level constraint validation (fused
   * Catalyst pass), per-partition verdicts, uniqueness / referential /
@@ -36,7 +36,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N]")
+        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
@@ -51,6 +51,10 @@ object Main {
         if (k <= 1) SubSplit.None: SubSplit // 1 = one unit per partition
         else SubSplit.Bucket(k): SubSplit
     }.getOrElse(SubSplit.None)
+    // commit units submitted from a bounded driver pool (default serial)
+    val concurrency = args.sliding(2).collectFirst {
+      case Array("--concurrency", n) => n.toInt
+    }.getOrElse(1)
 
     val builder0 = SparkSession.builder().appName("graft-validate")
     // spark-submit provides the master; standalone runs fall back to local
@@ -81,7 +85,7 @@ object Main {
     if (done.nonEmpty)
       println(s"[graft] resuming: ${done.size} partitions already committed: ${done.toSeq.sorted.mkString(",")}")
 
-    val results = runner.run(df, spec, "doc_id", "source", maxParts, split)
+    val results = runner.run(df, spec, "doc_id", "source", maxParts, split, concurrency)
     results.foreach { r =>
       println(f"[graft] partition=${r.partition}%-12s rows=${r.nRows}%8d failed=${r.nFailed}%6d violations=${r.nViolations}%6d pass=${r.pass}")
     }

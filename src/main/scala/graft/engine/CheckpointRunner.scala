@@ -12,13 +12,9 @@ import java.nio.file.{Files, Paths}
   * the table's `source`-style column, matching "partition by source" in
   * the north star). Each partition's outputs (violations, verdict,
   * metrics) land under `outDir/<kind>/part=<value>` with an idempotent
-  * overwrite, and a `_manifest` row is committed LAST — a partition
+  * overwrite, and a manifest row is committed LAST — a partition
   * without a manifest row is re-run wholesale on resume, so interrupted
   * runs resume at partition granularity with no partial-state repair.
-  *
-  * No Iceberg runtime jar exists in this sandbox (BASELINE.md); with one
-  * present, `commit`/`completed` would target an Iceberg checkpoint table
-  * via the same interface.
   */
 /** How a logical partition (= one `partCol` value) is further split into
   * commit units — the "range on doc_id" axis of the north star's
@@ -52,19 +48,84 @@ object SubSplit {
   }
 }
 
-final class CheckpointRunner(spark: SparkSession, outDir: String) {
+/** Checkpoint-table I/O seam (SURVEY.md §7.1's `SequenceTable` promise):
+  * everything the runner needs from storage — completed-unit listing,
+  * durable per-unit output, and the commit point — behind one trait, so
+  * a real Iceberg implementation (checkpoint table + snapshot commits)
+  * drops in without touching the driver loop. Implementations must make
+  * [[writeViolations]] an IDEMPOTENT overwrite (a unit interrupted
+  * between output and commit is re-run wholesale on resume) and
+  * [[commit]] durable-last (a unit is complete iff its manifest row
+  * exists). Both must be safe to call for DIFFERENT units from
+  * concurrent driver threads (the runner's `concurrency` option).
+  */
+trait TableIO {
+  /** Units whose outputs are durably committed. */
+  def completedUnits(): Set[String]
+  /** The split descriptor a previous run recorded, if any. */
+  def splitDescriptor(): Option[String]
+  /** Record the split descriptor before the first unit runs. */
+  def writeSplitDescriptor(desc: String): Unit
+  /** Durably write one unit's violations (idempotent overwrite). */
+  def writeViolations(unitId: String, violations: DataFrame): Unit
+  /** Commit point: mark the unit complete. MUST be the last write. */
+  def commit(result: PartitionResult, committedAt: java.time.Instant): Unit
+}
 
+/** Partitioned-Parquet + manifest-directory [[TableIO]]: the in-sandbox
+  * stand-in for an Iceberg checkpoint table (no Iceberg runtime jar
+  * exists here, BASELINE.md). Violations and manifest rows each land
+  * under their own `part=<unitId>` directory with overwrite semantics —
+  * per-unit directories make concurrent commits of different units safe
+  * (no two Spark write jobs ever share an output directory or its
+  * `_temporary` staging) and re-commits idempotent.
+  */
+final class ParquetManifestIO(spark: SparkSession, outDir: String) extends TableIO {
   private val manifestDir = s"$outDir/_manifest"
+  private val splitFile = Paths.get(s"$outDir/_manifest_split")
 
-  def completedPartitions(): Set[String] =
+  override def completedUnits(): Set[String] =
     if (!Files.exists(Paths.get(manifestDir))) Set.empty
     else {
       val df = spark.read.option("basePath", manifestDir).parquet(manifestDir)
       df.select("partition").collect().map(_.getString(0)).toSet
     }
 
-  /** Validate every not-yet-committed partition. Returns per-partition
-    * metrics of THIS run (resumed partitions are skipped).
+  override def splitDescriptor(): Option[String] =
+    if (Files.exists(splitFile)) Some(Files.readString(splitFile)) else None
+
+  override def writeSplitDescriptor(desc: String): Unit = {
+    Files.createDirectories(Paths.get(outDir))
+    Files.writeString(splitFile, desc)
+  }
+
+  override def writeViolations(unitId: String, violations: DataFrame): Unit =
+    violations.write.mode(SaveMode.Overwrite).parquet(s"$outDir/violations/part=$unitId")
+
+  override def commit(res: PartitionResult, at: java.time.Instant): Unit = {
+    import spark.implicits._
+    Seq((res.partition, res.nRows, res.nFailed, res.nViolations, at.toString))
+      .toDF("partition", "n_rows", "n_failed", "n_violations", "committed_at")
+      .write.mode(SaveMode.Overwrite).parquet(s"$manifestDir/part=${res.partition}")
+  }
+}
+
+final class CheckpointRunner(spark: SparkSession, io: TableIO) {
+
+  def this(spark: SparkSession, outDir: String) =
+    this(spark, new ParquetManifestIO(spark, outDir))
+
+  def completedPartitions(): Set[String] = io.completedUnits()
+
+  /** Stable text form of a split, persisted next to the manifest. */
+  private def splitDescriptor(split: SubSplit): String = split match {
+    case SubSplit.None         => "none"
+    case SubSplit.Bucket(n)    => s"bucket:$n"
+    case SubSplit.Ranges(cuts) => s"ranges:${cuts.mkString("\u001f")}"
+  }
+
+  /** Validate every not-yet-committed commit unit. Returns per-unit
+    * metrics of THIS run (resumed units are skipped).
     *
     * PRECONDITION at scale: the storage layout must be partitioned by
     * `partCol` (Iceberg/Hive `PARTITIONED BY`), so each `where(partCol
@@ -73,32 +134,32 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
     * full scan per partition value, which is pathological at 10^12
     * rows; commit-per-partition is only meaningful when the table
     * layout gives each partition its own files.
+    *
+    * `concurrency` > 1 submits that many commit units as Spark jobs at
+    * once from a bounded driver pool. At 10^12 rows a serial
+    * one-job-per-unit loop leaves the cluster idle between small units
+    * (job setup + commit latency); units are independent by construction
+    * (disjoint slices, per-unit output paths), so overlapping them keeps
+    * executors saturated. Results return in deterministic unit order
+    * regardless of completion order.
     */
-  /** Stable text form of a split, persisted next to the manifest. */
-  private def splitDescriptor(split: SubSplit): String = split match {
-    case SubSplit.None         => "none"
-    case SubSplit.Bucket(n)    => s"bucket:$n"
-    case SubSplit.Ranges(cuts) => s"ranges:${cuts.mkString("\u001f")}"
-  }
-
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
-      limit: Option[Int] = None, split: SubSplit = SubSplit.None): Seq[PartitionResult] = {
+      limit: Option[Int] = None, split: SubSplit = SubSplit.None,
+      concurrency: Int = 1): Seq[PartitionResult] = {
+    require(concurrency >= 1, "concurrency must be >= 1")
     // commit units are only comparable across runs under the SAME split:
     // resuming with a different granularity would leave the old
     // granularity's outputs on disk and double-count violations. The
     // split descriptor is committed with the first run and must match.
-    val splitFile = Paths.get(s"$outDir/_manifest_split")
-    if (Files.exists(splitFile)) {
-      val prev = Files.readString(splitFile)
-      require(prev == splitDescriptor(split),
-        s"outDir was started with split '$prev' but this run uses " +
-          s"'${splitDescriptor(split)}'; resume with the original split " +
-          "or use a fresh outDir")
-    } else {
-      Files.createDirectories(Paths.get(outDir))
-      Files.writeString(splitFile, splitDescriptor(split))
+    io.splitDescriptor() match {
+      case Some(prev) =>
+        require(prev == splitDescriptor(split),
+          s"outDir was started with split '$prev' but this run uses " +
+            s"'${splitDescriptor(split)}'; resume with the original split " +
+            "or use a fresh outDir")
+      case None => io.writeSplitDescriptor(splitDescriptor(split))
     }
-    val done = completedPartitions()
+    val done = io.completedUnits()
     // partition listing: distinct is over the (tiny) partition-key domain
     val parts = df.select(partCol).distinct().collect()
       .map(r => Option(r.getString(0)).getOrElse("__null__")).sorted
@@ -125,7 +186,9 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
     })
     val todo0 = units.filterNot { case (id, _, _) => done(id) }
     val todo = limit.fold(todo0)(todo0.take) // simulated interrupt
-    todo.map { case (unitId, p, pred) =>
+
+    def runUnit(unitId: String, p: String,
+        pred: Option[org.apache.spark.sql.Column]): PartitionResult = {
       val partSlice =
         if (p == "__null__") df.where(col(partCol).isNull)
         else df.where(col(partCol) === p) // partition pruning when the
@@ -136,7 +199,7 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
         .select(col(keyCol), explode(col(ValidationEngine.ViolationsCol)).as("v"))
         .select(col(keyCol), col("v.constraint_id").as("constraint_id"),
           col("v.offending").as("offending"))
-      viol.write.mode(SaveMode.Overwrite).parquet(s"$outDir/violations/part=$unitId")
+      io.writeViolations(unitId, viol)
 
       // coalesce: a sub-unit slice can be legitimately empty (e.g. a
       // tiny source crossed with a bucket that holds none of its keys)
@@ -148,12 +211,23 @@ final class CheckpointRunner(spark: SparkSession, outDir: String) {
       val res = PartitionResult(unitId, m.getLong(0), m.getLong(1), m.getLong(2))
 
       // commit point: manifest row written only after outputs are durable
-      import spark.implicits._
-      Seq((res.partition, res.nRows, res.nFailed, res.nViolations,
-        java.time.Instant.now().toString))
-        .toDF("partition", "n_rows", "n_failed", "n_violations", "committed_at")
-        .write.mode(SaveMode.Append).parquet(manifestDir)
+      io.commit(res, java.time.Instant.now())
       res
+    }
+
+    if (concurrency == 1 || todo.size <= 1)
+      todo.map { case (unitId, p, pred) => runUnit(unitId, p, pred) }
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val futures = todo.map { case (unitId, p, pred) =>
+          Future(runUnit(unitId, p, pred))
+        }
+        futures.map(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
     }
   }
 }

@@ -80,39 +80,70 @@ object StreamingValidation {
     * Built-in windowed aggregation can't express this: the statistic is
     * a nonlinear function (PSI) of the FULL running distribution, not a
     * windowed sum — exactly the case for custom state.
+    *
+    * `stateTtl` (e.g. `Some("30 minutes")`) arms a processing-time
+    * timeout per group: a group that receives no rows for that long has
+    * its state REMOVED (no row emitted on expiry) and re-registers from
+    * zero if it reappears. Without a TTL, per-group state never expires —
+    * at production group churn (e.g. grouping by a rotating shard key)
+    * that is an unbounded state leak, so long-running monitors should
+    * always set one.
     */
   def driftMonitor(stream: DataFrame, groupCol: String, valueCol: String,
-      bucketWidth: Double, baseline: Map[Long, Double], eps: Double = 1e-6)
-      : Dataset[DriftUpdate] = {
+      bucketWidth: Double, baseline: Map[Long, Double], eps: Double = 1e-6,
+      stateTtl: Option[String] = None): Dataset[DriftUpdate] = {
     val session = stream.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream
       .where(col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("group"),
         floor(col(valueCol) / bucketWidth).cast("long").as("bucket"))
       .as[DriftEvent]
       .groupByKey(_.group)
-      .mapGroupsWithState[DriftStateBuf, DriftUpdate](GroupStateTimeout.NoTimeout()) {
-        (g: String, rows: Iterator[DriftEvent], state: GroupState[DriftStateBuf]) =>
-          val prev = state.getOption.getOrElse(DriftStateBuf(Map.empty, 0L))
-          val upd = rows.foldLeft(prev) { (s, e) =>
-            DriftStateBuf(
-              s.counts.updated(e.bucket, s.counts.getOrElse(e.bucket, 0L) + 1L),
-              s.n + 1L)
-          }
-          state.update(upd)
-          val t = upd.n.toDouble
-          var kl = 0.0
-          var psi = 0.0
-          // union of observed and baseline buckets, ascending for a
-          // deterministic summation order
-          (upd.counts.keySet ++ baseline.keySet).toSeq.sorted.foreach { b =>
-            val p = upd.counts.getOrElse(b, 0L).toDouble / t + eps
-            val q = baseline.getOrElse(b, 0.0) + eps
-            kl += p * math.log(p / q)
-            psi += (p - q) * math.log(p / q)
-          }
-          DriftUpdate(g, upd.n, kl, psi)
-      }
+      .flatMapGroupsWithState[DriftStateBuf, DriftUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(), timeoutConf)(
+        driftStep(baseline, eps, stateTtl))
   }
+
+  /** The per-group state-transition function of [[driftMonitor]],
+    * factored out so expiry semantics are unit-testable against
+    * `TestGroupState` (no wall-clock in tests): on timeout the group's
+    * state is REMOVED and nothing is emitted; otherwise counts
+    * accumulate, the TTL (if any) re-arms, and one update row is
+    * emitted.
+    */
+  private[streaming] def driftStep(baseline: Map[Long, Double], eps: Double,
+      stateTtl: Option[String])(
+      g: String, rows: Iterator[DriftEvent], state: GroupState[DriftStateBuf])
+      : Iterator[DriftUpdate] =
+    if (state.hasTimedOut) {
+      // dead group: drop its state; nothing to emit — a reappearing
+      // group re-registers from zero
+      state.remove()
+      Iterator.empty
+    } else {
+      val prev = state.getOption.getOrElse(DriftStateBuf(Map.empty, 0L))
+      val upd = rows.foldLeft(prev) { (s, e) =>
+        DriftStateBuf(
+          s.counts.updated(e.bucket, s.counts.getOrElse(e.bucket, 0L) + 1L),
+          s.n + 1L)
+      }
+      state.update(upd)
+      stateTtl.foreach(state.setTimeoutDuration)
+      val t = upd.n.toDouble
+      var kl = 0.0
+      var psi = 0.0
+      // union of observed and baseline buckets, ascending for a
+      // deterministic summation order
+      (upd.counts.keySet ++ baseline.keySet).toSeq.sorted.foreach { b =>
+        val p = upd.counts.getOrElse(b, 0L).toDouble / t + eps
+        val q = baseline.getOrElse(b, 0.0) + eps
+        kl += p * math.log(p / q)
+        psi += (p - q) * math.log(p / q)
+      }
+      Iterator.single(DriftUpdate(g, upd.n, kl, psi))
+    }
 }

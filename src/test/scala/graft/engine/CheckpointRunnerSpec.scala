@@ -116,6 +116,53 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("concurrent commit units (bounded pool) produce the same results and manifest as serial") {
+    val df = SequenceGen.generate(spark, 5000)
+    val outS = Files.createTempDirectory("graft_ckpt_ser").toString
+    val outC = Files.createTempDirectory("graft_ckpt_con").toString
+    val serial = new CheckpointRunner(spark, outS)
+      .run(df, spec, "doc_id", "source", split = SubSplit.Bucket(2))
+    val concurrent = new CheckpointRunner(spark, outC)
+      .run(df, spec, "doc_id", "source", split = SubSplit.Bucket(2), concurrency = 4)
+    assert(concurrent == serial, "unit order and metrics must be deterministic")
+    assert(new CheckpointRunner(spark, outC).completedPartitions() ==
+      serial.map(_.partition).toSet)
+    assert(violationSet(s"$outC/violations") == violationSet(s"$outS/violations"))
+    // a concurrent run resumes cleanly too
+    assert(new CheckpointRunner(spark, outC)
+      .run(df, spec, "doc_id", "source", split = SubSplit.Bucket(2), concurrency = 4).isEmpty)
+  }
+
+  test("TableIO seam: the runner drives any implementation (in-memory), commit strictly after output") {
+    final class MemoryIO extends TableIO {
+      val violations = scala.collection.mutable.Map[String, Long]()
+      val committed = scala.collection.mutable.LinkedHashSet[String]()
+      var split: Option[String] = None
+      val log = scala.collection.mutable.ArrayBuffer[String]()
+      override def completedUnits(): Set[String] = committed.toSet
+      override def splitDescriptor(): Option[String] = split
+      override def writeSplitDescriptor(desc: String): Unit = split = Some(desc)
+      override def writeViolations(unitId: String, v: org.apache.spark.sql.DataFrame): Unit =
+        synchronized { violations(unitId) = v.count(); log += s"write:$unitId" }
+      override def commit(res: PartitionResult, at: java.time.Instant): Unit =
+        synchronized { committed += res.partition; log += s"commit:${res.partition}" }
+    }
+    val df = SequenceGen.generate(spark, 2000)
+    val io = new MemoryIO
+    val runner = new CheckpointRunner(spark, io)
+    val first = runner.run(df, spec, "doc_id", "source", limit = Some(2))
+    assert(io.committed.toSet == first.map(_.partition).toSet)
+    // commit is strictly after that unit's violations write
+    first.foreach { r =>
+      assert(io.log.indexOf(s"write:${r.partition}") < io.log.indexOf(s"commit:${r.partition}"))
+    }
+    // resume consults the SAME trait: only the rest runs
+    val second = runner.run(df, spec, "doc_id", "source")
+    assert(second.map(_.partition).toSet.intersect(first.map(_.partition).toSet).isEmpty)
+    assert(io.violations.keySet == (first ++ second).map(_.partition).toSet)
+    assert(io.split.contains("none"))
+  }
+
   test("re-running a committed partition is idempotent (same violations, same metrics)") {
     val df = SequenceGen.generate(spark, 3000)
     val outA = Files.createTempDirectory("graft_ckpt_a").toString

@@ -112,4 +112,48 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(ids.sorted == Seq("d1", "d2"))
     } finally q.stop()
   }
+
+  test("drift monitor state TTL: timeout removes state silently; group re-registers from zero") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import StreamingValidation.{DriftEvent, DriftStateBuf}
+    val noWatermark = Optional.empty[Long]()
+    val baseline = Map(0L -> 0.5, 1L -> 0.5)
+    val step = StreamingValidation.driftStep(baseline, 1e-6, Some("30 minutes")) _
+
+    // batch 1: three events accumulate and arm the TTL
+    val s1 = TestGroupState.create[DriftStateBuf](
+      optionalState = Optional.empty[DriftStateBuf](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = noWatermark, hasTimedOut = false)
+    val out1 = step("g1", Iterator(DriftEvent("g1", 0L), DriftEvent("g1", 1L), DriftEvent("g1", 1L)), s1).toSeq
+    assert(out1.map(_.n) == Seq(3L))
+    assert(s1.exists && s1.get.n == 3L)
+    assert(s1.getTimeoutTimestampMs.isPresent, "TTL must be armed after an update")
+    assert(s1.getTimeoutTimestampMs.get == 1000L + 30L * 60L * 1000L)
+
+    // expiry: the engine calls the function with hasTimedOut=true and no
+    // rows — state is removed, nothing is emitted
+    val s2 = TestGroupState.create[DriftStateBuf](
+      optionalState = Optional.of(s1.get), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L + 31L * 60L * 1000L, eventTimeWatermarkMs = noWatermark, hasTimedOut = true)
+    val out2 = step("g1", Iterator.empty, s2).toSeq
+    assert(out2.isEmpty, "expiry must not emit a row")
+    assert(s2.isRemoved, "expired state must be removed")
+
+    // the group reappears: it re-registers cleanly from zero
+    val s3 = TestGroupState.create[DriftStateBuf](
+      optionalState = Optional.empty[DriftStateBuf](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 5000000L, eventTimeWatermarkMs = noWatermark, hasTimedOut = false)
+    val out3 = step("g1", Iterator(DriftEvent("g1", 0L)), s3).toSeq
+    assert(out3.map(_.n) == Seq(1L), "re-registered group restarts at n=1")
+    assert(s3.getTimeoutTimestampMs.isPresent)
+
+    // without a TTL the function must NOT arm a timeout (NoTimeout conf)
+    val noTtl = StreamingValidation.driftStep(baseline, 1e-6, None) _
+    val s4 = TestGroupState.create[DriftStateBuf](
+      optionalState = Optional.empty[DriftStateBuf](), timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = noWatermark, hasTimedOut = false)
+    noTtl("g1", Iterator(DriftEvent("g1", 0L)), s4).toSeq
+    assert(!s4.getTimeoutTimestampMs.isPresent)
+  }
 }
