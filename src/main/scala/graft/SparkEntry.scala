@@ -3,7 +3,7 @@ package graft
 import graft.compile.SpecCompiler
 import graft.engine._
 import graft.ops._
-import graft.spec.SchemaParser
+import graft.spec.{PatternDialect, SchemaParser}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, MapType, StringType}
@@ -119,6 +119,66 @@ object SparkEntry {
     }"""
   private lazy val mapSpec = SchemaParser.parse(MapSpecJson)
 
+  /** POSIX-ERE dialect (reference regex-tdfa): the engine translates the
+    * bracket classes to Java regex at parse time, while the oracle runs
+    * the ORIGINAL POSIX source (DuckDB's RE2 supports `[[:digit:]]`
+    * natively) — a genuine cross-dialect differential. A naive Java
+    * `rlike` of the raw source would read `[[:digit:]]` as the character
+    * class {[,:,d,i,g,t} and flip most verdicts.
+    */
+  val PosixLangPattern: String = "^[[:lower:]]{2}$"
+  val PosixSourcePattern: String = "^src[[:digit:]]$"
+  val PosixSpecJson: String =
+    s"""{
+      "type": "object",
+      "properties": {
+        "lang":   {"type": "string", "pattern": "$PosixLangPattern"},
+        "source": {"type": "string", "pattern": "$PosixSourcePattern"}
+      }
+    }"""
+  private lazy val posixSpec = SchemaParser.parse(PosixSpecJson, PatternDialect.Posix)
+
+  /** Enum deep equality over a struct value (reference Validator.hs
+    * compares any JSON value structurally): allowed values are JSON
+    * objects, compiled to typed struct literals.
+    */
+  val EnumStructSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "loc": {"enum": [{"lang": "en", "source": "src0"},
+                         {"lang": "es", "source": "src1"}]}
+      }
+    }"""
+  private lazy val enumStructSpec = SchemaParser.parse(EnumStructSpecJson)
+
+  /** Enum deep equality over a MapType value: compared via key-sorted
+    * entry arrays (Catalyst `===` is unsupported on maps).
+    */
+  val EnumMapSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "m": {"enum": [{"k": 42}, {"k": 77}]}
+      }
+    }"""
+  private lazy val enumMapSpec = SchemaParser.parse(EnumMapSpecJson)
+
+  /** `default` application parity (reference CodeGen.hs generated
+    * parsers): absent (NULL) properties are filled with the spec default
+    * BEFORE validation, so a default that violates its own constraints
+    * surfaces as a violation with the filled value as the offender.
+    */
+  val DefaultsSpecJson: String =
+    s"""{
+      "type": "object",
+      "properties": {
+        "lang": {"type": "string", "default": "zz",
+                 "enum": [${DocLangs.map("\"" + _ + "\"").mkString(",")}]}
+      }
+    }"""
+  private lazy val defaultsSpec = SchemaParser.parse(DefaultsSpecJson)
+
   private val P = TextOps.HashPrime
   /** DuckDB rendering of TextOps.portableHash (full 60-bit). */
   private def hFullSql(e: String): String =
@@ -208,6 +268,38 @@ object SparkEntry {
       val cs = SpecCompiler.compileColumn(mapSpec, mt, col("m"), "$")
       ValidationEngine.violationsWith(
         ValidationEngine.annotateWith(df, cs), Seq("event_id"))
+    }),
+
+    "val_posix_pattern" -> ((s, dir) =>
+      ValidationEngine.violations(read(s, dir, "documents"), posixSpec, Seq("doc_id"))),
+
+    // no-null guard on both sides: struct-field null equality is a
+    // cross-engine minefield (Catalyst nested nulls compare equal), and
+    // null handling is covered by the dual-engine fixture corpus
+    "val_enum_struct" -> ((s, dir) => {
+      val df = read(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("doc_id"), struct(col("lang"), col("source")).as("loc"))
+      ValidationEngine.violations(df, enumStructSpec, Seq("doc_id")).drop("offending")
+    }),
+
+    "val_enum_map" -> ((s, dir) => {
+      val mt = MapType(StringType, LongType)
+      val df = read(s, dir, "events")
+        .where(col("props").isNotNull)
+        .select(col("event_id"), from_json(col("props"), mt).as("m"))
+      ValidationEngine.violations(df, enumMapSpec, Seq("event_id")).drop("offending")
+    }),
+
+    "val_defaults" -> ((s, dir) => {
+      // the test tables carry no NULLs, so absence is injected
+      // deterministically (doc_id % 5) on both sides
+      val df = read(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"))
+      ValidationEngine.violations(
+        ValidationEngine.applyDefaults(df, defaultsSpec), defaultsSpec, Seq("doc_id"))
     }),
 
     // === per-column stats (single-pass profile) ===
@@ -552,6 +644,36 @@ object SparkEntry {
                   CAST(k AS VARCHAR) AS offending FROM t WHERE k < 10
            UNION ALL SELECT event_id, '$.<pattern:^k>.maximum',
                   '[{"key":"k","value":' || k || '}]' FROM t WHERE k > 90""",
+
+      // the ORIGINAL POSIX source runs here (RE2 groks [[:digit:]]);
+      // the engine ran the Java translation — cross-dialect differential
+      "val_posix_pattern" ->
+        s"""SELECT doc_id, '$$.lang.pattern' AS constraint_id, lang AS offending
+            FROM documents
+            WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '$PosixLangPattern')
+            UNION ALL
+            SELECT doc_id, '$$.source.pattern' AS constraint_id, source AS offending
+            FROM documents
+            WHERE source IS NOT NULL AND NOT regexp_matches(source, '$PosixSourcePattern')""",
+
+      "val_enum_struct" ->
+        """SELECT doc_id, '$.loc.enum' AS constraint_id FROM documents
+           WHERE lang IS NOT NULL AND source IS NOT NULL
+             AND NOT ((lang = 'en' AND source = 'src0')
+                   OR (lang = 'es' AND source = 'src1'))""",
+
+      "val_enum_map" ->
+        """SELECT event_id, '$.m.enum' AS constraint_id
+           FROM (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                 FROM events WHERE props IS NOT NULL)
+           WHERE k NOT IN (42, 77)""",
+
+      "val_defaults" ->
+        """SELECT doc_id, '$.lang.enum' AS constraint_id, lang AS offending
+           FROM (SELECT doc_id,
+                   coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END, 'zz') AS lang
+                 FROM documents)
+           WHERE lang NOT IN ('en','es','de','fr')""",
 
       "chk_unique" ->
         """SELECT user_id, '$.user_id.unique' AS constraint_id,
