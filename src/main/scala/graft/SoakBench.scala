@@ -1,0 +1,151 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.lang.management.ManagementFactory
+
+/** Scale soak: the dedup trio (MinHash-LSH pairs, n-gram Jaccard pairs,
+  * SimHash groups) plus exact dedup over a synthetic text corpus of tens
+  * of millions of documents at local[32], recording wall time AND peak
+  * heap per operator — the memory cliffs sf0.1 cannot surface,
+  * especially on the bounded pair-expansion path.
+  *
+  * Corpus (deterministic, parallelism-independent, no joins): `rows`
+  * docs of 24 words drawn from a poolSize-word pool by `hash(base, j)`.
+  * Duplicates are arithmetic, not lookups — a doc whose id hits the
+  * duplicate lane simply evaluates its neighbor's word formula:
+  *   - id % 16 == 0  → base = id+1: exact duplicate of doc id+1
+  *   - id % 16 == 2  → base = id+1 with the last word re-salted:
+  *                     near-duplicate of doc id+1 (23/24 words shared)
+  *   - id % 10007 == 0 → one shared boilerplate text: a genuinely hot
+  *     LSH/shingle bucket (~rows/10007 identical docs) that MUST be
+  *     handled by the maxBucket/maxDf caps, not by luck
+  * Everything is plain codegen'd arithmetic (hash + element_at + concat)
+  * — no HOFs — so generation is scan-speed and the corpus is written to
+  * parquet once, untimed.
+  *
+  * Output: one JSON line per op `{op, sec, rows, out_rows, peak_heap_mb}`
+  * and a trailing `{"metric":"soak_total",...}` summary.
+  */
+object SoakBench {
+
+  /** Word-pool size (prime). Controls the random shingle-collision
+    * rate: 509 makes nearly every 3-gram shared by a handful of
+    * unrelated docs (mean df ~3 at 20M rows — an adversarial flood of
+    * candidate pairs, ~700M at 20M docs); 65521 makes non-duplicate
+    * shingles effectively unique (the realistic regime, where inverted
+    * index buckets below size 2 are dropped before pair expansion).
+    */
+  private val DefaultPool = 509
+
+  def corpus(spark: SparkSession, rows: Long,
+      poolSize: Int = DefaultPool): DataFrame = {
+    val pool = array((0 until poolSize).map(i => lit(s"tok$i")): _*)
+    val base = when(pmod(col("id"), lit(16)).isin(0, 2), col("id") + 1)
+      .otherwise(col("id"))
+    val words = (0 until 24).map { j =>
+      val salt =
+        if (j == 23)
+          when(pmod(col("id"), lit(16)) === 2, lit(j + 1000)).otherwise(lit(j))
+        else lit(j)
+      element_at(pool, pmod(hash(col("_base"), salt), lit(poolSize)) + 1)
+    }
+    val boiler = (0 until 24).map(j => s"tok${j * 7 % poolSize}").mkString(" ")
+    spark.range(rows)
+      .withColumn("_base", base)
+      .select(
+        concat(lit("d"), col("id").cast("string")).as("doc_id"),
+        when(pmod(col("id"), lit(10007)) === 0, lit(boiler))
+          .otherwise(concat_ws(" ", words: _*)).as("text"))
+  }
+
+  /** Run `f`, returning (seconds, output rows, peak heap-used MB during
+    * the op). The peak is sampled at 50 ms from `MemoryMXBean` — the
+    * whole-heap used figure at one instant. (Summing per-pool
+    * `getPeakUsage` instead over-counts: G1 pool peaks occur at
+    * different times, and the sum can exceed -Xmx.)
+    */
+  private def timed(f: => Long): (Double, Long, Long) = {
+    val mem = ManagementFactory.getMemoryMXBean
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) {
+        peak.accumulateAndGet(mem.getHeapMemoryUsage.getUsed, Math.max)
+        Thread.sleep(50)
+      }
+    })
+    poller.setDaemon(true)
+    poller.start()
+    val t0 = System.nanoTime()
+    val out = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    stop = true
+    poller.join()
+    (sec, out, peak.get() / (1024 * 1024))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROWS", "20000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val poolSize = sys.env.getOrElse("SPARK_GRAFT_SOAK_POOL", DefaultPool.toString).toInt
+    val data = s"/tmp/graft_soak_corpus_${rows}_p$poolSize"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(data)))
+      corpus(spark, rows, poolSize).write.mode("overwrite").parquet(data)
+    val docs = spark.read.parquet(data)
+
+    // untimed warmup on a small slice: JIT + codegen compilation, so the
+    // first timed op measures the operator, not JVM warmup (measured
+    // ~25 s of warmup folded into op 1 otherwise)
+    locally {
+      val w = docs.limit(100000)
+      Dedup.exactDuplicates(w, "doc_id", "text").count()
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignature(w, "doc_id", "text"), "doc_id").count()
+      Dedup.ngramJaccardPairs(w, "doc_id", "text", threshold = 0.8).count()
+      Dedup.simhashDf(w, "doc_id", "text").count()
+    }
+
+    // peak_heap_mb includes not-yet-collected garbage under the lazy
+    // large heap — the soak's memory evidence is completion under the
+    // bounded -Xmx; the peak column shows headroom
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long)]()
+    def run(op: String)(f: => Long): Unit = {
+      val (sec, out, peak) = timed(f)
+      results += ((op, sec, out, peak))
+      println(f"""{"op":"$op","sec":$sec%.1f,"rows":$rows,"out_rows":$out,"peak_heap_mb":$peak}""")
+    }
+
+    run("exact_dup_groups") {
+      Dedup.exactDuplicates(docs, "doc_id", "text").count()
+    }
+    run("minhash_lsh_pairs") {
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+      Dedup.minhashCandidatePairs(sig, "doc_id").count()
+    }
+    run("jaccard_pairs") {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8).count()
+    }
+    run("simhash_groups") {
+      Dedup.simhashDf(docs, "doc_id", "text")
+        .groupBy("simhash").count().where(col("count") > 1).count()
+    }
+
+    val total = results.map(_._2).sum
+    val peak = results.map(_._4).max
+    println(f"""{"metric":"soak_total","value":$total%.1f,"unit":"sec","rows":$rows,"pool":$poolSize,"cpus":$cpus,"peak_heap_mb":$peak}""")
+    spark.stop()
+  }
+}
