@@ -270,6 +270,18 @@ object SparkEntry {
         ValidationEngine.annotateWith(df, cs), Seq("event_id"))
     }),
 
+    // JSONL ingestion: serialize the typed table to JSON lines, re-read
+    // through the spec-DERIVED schema (sources.JsonlSource.schemaFor),
+    // validate — must equal validating the typed table directly (same
+    // oracle SQL as val_violations)
+    "val_jsonl" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val lines = docs.select(to_json(struct(docs.columns.map(col): _*)).as("value"))
+      val parsed = graft.sources.JsonlSource.parse(lines, docSpec)
+        .drop(graft.sources.JsonlSource.CorruptCol)
+      ValidationEngine.violations(parsed, docSpec, Seq("doc_id"))
+    }),
+
     "val_posix_pattern" -> ((s, dir) =>
       ValidationEngine.violations(read(s, dir, "documents"), posixSpec, Seq("doc_id"))),
 
@@ -522,6 +534,11 @@ object SparkEntry {
 
     Map(
       "val_violations" -> docViolationArms.map { case (cid, where, off) =>
+        s"SELECT doc_id, '$cid' AS constraint_id, $off AS offending FROM documents WHERE $where"
+      }.mkString("\nUNION ALL\n"),
+
+      // the JSONL roundtrip must land exactly where the typed path does
+      "val_jsonl" -> docViolationArms.map { case (cid, where, off) =>
         s"SELECT doc_id, '$cid' AS constraint_id, $off AS offending FROM documents WHERE $where"
       }.mkString("\nUNION ALL\n"),
 

@@ -214,9 +214,17 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, keyCol: String, textCol: String,
       threshold: Double, maxDf: Int = 2000): DataFrame = {
+    // bucket key = xxhash64(shingle), not the shingle string: the key
+    // never reaches the output, and 8-byte long keys shrink the
+    // corpus-sized inverted-index shuffle (~18-byte avg shingles) and
+    // make the aggregation's key comparisons long-vs-long. A 64-bit
+    // collision merges two buckets, inflating one pair's intersection
+    // count by 1 — odds ~n_distinct²/2⁶⁵, immaterial beside the
+    // shingling approximation itself.
     val inv = df
       .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val buckets = inv
       .groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n_sh"))).as("docs"))
