@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: checkpointed validation of a sequences table.
   *
   * Usage:
-  *   graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]
+  *   graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]
   *
   * Runs the full pipeline — row-level constraint validation (fused
   * Catalyst pass), per-partition verdicts, uniqueness / referential /
@@ -36,7 +36,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]")
+        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
@@ -72,13 +72,20 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val df =
-      if (input.startsWith("gen:")) SequenceGen.generate(spark, input.drop(4).toLong)
-      else spark.read.parquet(input)
     val specJson =
       if (specArg == "builtin") builtinSpec
       else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specArg)))
     val spec = SchemaParser.parse(specJson)
+
+    val df =
+      if (input.startsWith("gen:")) SequenceGen.generate(spark, input.drop(4).toLong)
+      else if (input.startsWith("jsonl:"))
+        // raw JSONL through the spec-derived schema (JsonlSource.schemaFor);
+        // malformed lines are NOT dropped — they parse to all-null rows
+        // and surface as required violations under the __null__ partition
+        graft.sources.JsonlSource.read(spark, input.drop(6), spec)
+          .drop(graft.sources.JsonlSource.CorruptCol)
+      else spark.read.parquet(input)
 
     val runner = new CheckpointRunner(spark, outDir)
     val done = runner.completedPartitions()

@@ -254,7 +254,16 @@ object ScalingBench {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get(outMd), md)
+    // replace only the auto-generated header; everything from the
+    // hand-curated "## Measurement history" marker on is preserved
+    // (a past run overwrote the whole file and lost the history)
+    val preserved =
+      if (Files.exists(Paths.get(outMd))) {
+        val cur = Files.readString(Paths.get(outMd))
+        val i = cur.indexOf("## Measurement history")
+        if (i >= 0) cur.substring(i) else ""
+      } else ""
+    Files.writeString(Paths.get(outMd), if (preserved.isEmpty) md else s"$md\n$preserved")
     println(s"""{"rows":$rows,"secN":$secN,"sec4N":$sec4N,"thrN":$thrN,"thr4N":$thr4N,"efficiency":$eff,"hw_scale":$hwScale,"efficiency_normalized":$effNorm,"compute_secN":$csecN,"compute_sec4N":$csec4N,"compute_efficiency":$ceff,"steady_secN":$ssecN,"steady_sec4N":$ssec4N,"steady_efficiency":$seff,"rep_host_loads":[${repLoads.mkString(",")}]}""")
   }
 }

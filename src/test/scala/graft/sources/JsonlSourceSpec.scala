@@ -86,6 +86,29 @@ class JsonlSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ok.count() == 1 && ok.select("doc_id").as[Long].head() == 1L)
   }
 
+  test("parse composes with Structured Streaming (readStream lines ≡ batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lines = Seq(
+      """{"doc_id": 1, "text": "streamed fine"}""",
+      """{"doc_id": -9, "text": "streamed bad id"}""",
+      """garbage line""")
+    val mem = MemoryStream[String]
+    mem.addData(lines: _*)
+    val parsed = JsonlSource.parse(mem.toDF(), spec)
+    val q = ValidationEngine.annotate(parsed.drop(JsonlSource.CorruptCol), spec)
+      .writeStream.format("memory").queryName("jsonl_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream")
+        .select(col("doc_id"), col(ValidationEngine.PassCol))
+        .collect().map(r => (Option(r.get(0)), r.getBoolean(1))).toSet
+      // the garbage line flows through as an all-null row (valid=false:
+      // doc_id is required), exactly like the batch path
+      assert(got == Set((Some(1L), true), (Some(-9L), false), (None, false)))
+    } finally q.stop()
+  }
+
   test("uncoercible field values null the field AND flag the record corrupt") {
     val lines = Seq("""{"doc_id": "not a number", "text": "words here"}""").toDF("value")
     val parsed = JsonlSource.parse(lines, spec)
