@@ -147,6 +147,43 @@ class PropertyDifferentialSpec extends AnyFunSuite with SparkSessionTestWrapper 
     }
   }
 
+  test("JSONL ingestion ≡ oracle on derivable random specs (spec-derived schema path)") {
+    val seed0 = Seed(20260817L)
+    val specs = SGen.listOfN(40, genTableSpec)
+      .apply(SGen.Parameters.default, seed0).get
+    val rows = SGen.listOfN(40, genRow)
+      .apply(SGen.Parameters.default, seed0.next).get
+    val lines = rows.map(r =>
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(rowToJson(r))))
+    import spark.implicits._
+    val linesDf = spark.createDataset(lines).toDF("value")
+
+    var tested = 0
+    specs.zipWithIndex.foreach { case (spec, si) =>
+      // schemaFor throws on underivable specs (array without items,
+      // any-typed item without enum) — those are out of the JSONL
+      // path's contract by design
+      val parsedOpt =
+        try Some(graft.sources.JsonlSource.parse(linesDf, spec))
+        catch { case _: IllegalArgumentException => None }
+      parsedOpt.foreach { parsed =>
+        tested += 1
+        val ann = ValidationEngine
+          .annotate(parsed.drop(graft.sources.JsonlSource.CorruptCol), spec).collect()
+        ann.zip(rows).foreach { case (got, row) =>
+          val expected = OracleValidator
+            .validate(Map.empty, spec, rowToJson(row)).map(_.cid).toSet
+          val gotSet = got.getAs[scala.collection.Seq[Row]](ValidationEngine.ViolationsCol)
+            .map(_.getString(0)).toSet
+          assert(gotSet == expected,
+            s"JSONL spec#$si row=$row\n engine=$gotSet\n oracle=$expected\n spec=$spec")
+        }
+      }
+    }
+    assert(tested >= 10, s"only $tested of 40 random specs were derivable — generator drift?")
+  }
+
   // --- map-specialization differential (the MapType object path) ---
 
   private val keyPool = Seq("a", "b", "c", "d")
