@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -233,21 +233,22 @@ object Similarity {
     * brute-force |corpus|; recall < 1 near cell boundaries. Top-k uses
     * the bounded [[TopKByScore]] aggregator, never a full-stream sort.
     */
-  def ivfTopK(corpus: DataFrame, cKey: String, cVec: String,
-      queries: DataFrame, qKey: String, qVec: String, k: Int,
-      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
-    val c = corpus
-      .withColumn("_cell", ivfCell(col(cVec), centroids))
-      .withColumn("_cn", norm(col(cVec)))
-    val q = queries
-      .select(col(qKey), col(qVec), explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
-      .withColumn("_qn", norm(col(qVec)))
-    val topk = corpus.schema(cKey).dataType match {
+  private def topKAggFor(keyType: org.apache.spark.sql.types.DataType, k: Int) =
+    keyType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
         udaf(new TopKByScore[Long](k))
       case org.apache.spark.sql.types.StringType => udaf(new TopKByScore[String](k))
       case dt => throw new IllegalArgumentException(s"unsupported key type $dt")
     }
+
+  /** The shared IVF tail: cell-equality broadcast join of probes against
+    * the (cell, norm)-annotated corpus, then the bounded top-k
+    * aggregation. `c` must carry `_cell`/`_cn`; `q` must carry
+    * `_cell`/`_qn`.
+    */
+  private def cellJoinTopK(c: DataFrame, cKey: String, cVec: String,
+      q: DataFrame, qKey: String, qVec: String, k: Int): DataFrame = {
+    val topk = topKAggFor(c.schema(cKey).dataType, k)
     c.join(broadcast(q), Seq("_cell"))
       .where(col(qKey) =!= col(cKey))
       .select(col(qKey),
@@ -258,6 +259,69 @@ object Similarity {
       .select(col(qKey).as("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
       .select(col("query_id"), col("c.key").as("neighbor_id"),
         (col("pos") + 1).as("rank"), round(col("c.score"), 6).as("cos"))
+  }
+
+  /** The probe side: each query exploded to its nprobe nearest cells. */
+  private def probeSide(queries: DataFrame, qKey: String, qVec: String,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame =
+    queries
+      .select(col(qKey), col(qVec), explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
+      .withColumn("_qn", norm(col(qVec)))
+
+  def ivfTopK(corpus: DataFrame, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val c = corpus
+      .withColumn("_cell", ivfCell(col(cVec), centroids))
+      .withColumn("_cn", norm(col(cVec)))
+    cellJoinTopK(c, cKey, cVec,
+      probeSide(queries, qKey, qVec, centroids, nprobe), qKey, qVec, k)
+  }
+
+  /** Materialize the IVF index: the corpus annotated with its cell and
+    * norm, written PARTITIONED BY cell — the one-time indexing job of a
+    * production deployment. After it, probing is STORAGE-level partition
+    * pruning: a query batch touching `p` cells reads `p` directories,
+    * never the corpus.
+    */
+  def ivfWriteIndex(corpus: DataFrame, cVec: String,
+      centroids: Array[(Long, Array[Double])], path: String): Unit =
+    corpus
+      .withColumn("_cell", ivfCell(col(cVec), centroids))
+      .withColumn("_cn", norm(col(cVec)))
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** The distinct cells a query batch probes — ≤ min(|queries|·nprobe,
+    * cells) longs, collected driver-side by design (the query batch is
+    * small by ANN contract, like the centroid matrix itself).
+    */
+  def probeCells(queries: DataFrame, qVec: String,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): Array[Long] =
+    queries.select(explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** The pruned index scan: `_cell IN (cells…)` is a STATIC predicate on
+    * the partition column, so it lands in the scan's `PartitionFilters`
+    * (asserted in IvfIndexSpec) — only the probed directories are listed
+    * and read.
+    */
+  def indexScan(spark: SparkSession, path: String, cells: Array[Long]): DataFrame =
+    spark.read.parquet(path).where(col("_cell").isin(cells: _*))
+
+  /** ANN over a materialized [[ivfWriteIndex]] index: prune the scan to
+    * the batch's probe cells, then the same broadcast join + bounded
+    * top-k as [[ivfTopK]]. Equal to [[ivfTopK]] on the same corpus by
+    * construction (asserted in IvfIndexSpec).
+    */
+  def ivfTopKIndexed(spark: SparkSession, path: String, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int): DataFrame = {
+    val q = probeSide(queries, qKey, qVec, centroids, nprobe)
+    val c = indexScan(spark, path, probeCells(queries, qVec, centroids, nprobe))
+      // partition-column values come back int-inferred from directory
+      // names; normalize to the cell type the probe side produces
+      .withColumn("_cell", col("_cell").cast("long"))
+    cellJoinTopK(c, cKey, cVec, q, qKey, qVec, k)
   }
 
   /** Approximate top-k: like [[bruteForceTopK]] but each query only scans

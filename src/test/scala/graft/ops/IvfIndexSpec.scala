@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSessionTestWrapper
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The materialized IVF index: cell-partitioned parquet where probing is
+  * storage-level partition pruning, not a filter over a full scan.
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private lazy val vecs = (0 until 60).map(i =>
+    (i.toLong, Array((math.cos(i * 0.7) * (1 + i % 4)).toFloat,
+      (math.sin(i * 0.7) * (1 + i % 4)).toFloat)))
+    .toDF("vec_id", "embedding").repartition(5)
+  private lazy val cents =
+    Similarity.corpusCentroids(vecs, "vec_id", "embedding", every = 13L)
+  private lazy val queries = vecs.where(col("vec_id") % 19 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("ivfTopKIndexed over the cell-partitioned index ≡ in-memory ivfTopK") {
+    val idx = Files.createTempDirectory("graft_ivf_idx").toString
+    Similarity.ivfWriteIndex(vecs, "embedding", cents, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    for (nprobe <- Seq(2, cents.length)) {
+      val mem = rows(Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        queries, "qid", "qvec", 3, cents, nprobe))
+      val ind = rows(Similarity.ivfTopKIndexed(spark, idx, "vec_id", "embedding",
+        queries, "qid", "qvec", 3, cents, nprobe))
+      assert(ind == mem, s"nprobe=$nprobe")
+    }
+  }
+
+  test("probing the index is partition pruning: the scan lists only probed directories") {
+    val idx = Files.createTempDirectory("graft_ivf_idx2").toString
+    Similarity.ivfWriteIndex(vecs, "embedding", cents, idx)
+    val cells = Similarity.probeCells(queries, "qvec", cents, nprobe = 2)
+    assert(cells.nonEmpty && cells.length < cents.length,
+      "the probe set must be a strict subset of cells for pruning to mean anything")
+
+    val scan = Similarity.indexScan(spark, idx, cells)
+    val fileScans = scan.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(fileScans.nonEmpty)
+    val fs = fileScans.head
+    assert(fs.partitionFilters.nonEmpty,
+      "the _cell predicate must land in PartitionFilters, not a post-scan Filter")
+    // listing honors the pruning: exactly the probed directories survive
+    assert(fs.selectedPartitions.partitionCount == cells.length)
+    // and the rows read are exactly those cells' rows
+    // partition-column values are int-inferred from directory names
+    val gotCells = scan.select(col("_cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(gotCells.sameElements(cells))
+  }
+}
