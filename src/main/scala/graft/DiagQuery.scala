@@ -21,6 +21,7 @@ object DiagQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, dir).explain("formatted")
     fn(spark, dir).write.mode("overwrite").format("noop").save() // warmup
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
