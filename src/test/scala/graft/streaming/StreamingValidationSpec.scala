@@ -113,6 +113,43 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming restart from checkpoint: windowed-count state survives a stop/start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val mem = MemoryStream[Ev]
+    // latest count per constraint across update-mode re-emissions (the
+    // memory sink cannot recover from a checkpoint; foreachBatch can)
+    val seen = scala.collection.concurrent.TrieMap[String, Long]()
+    def start() = StreamingValidation
+      .violationCountsByWindow(mem.toDF(), spec, "ts", "10 seconds", "5 seconds")
+      .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach { r =>
+          val (cid, n) = (r.getString(1), r.getLong(2))
+          seen.updateWith(cid)(prev => Some(math.max(prev.getOrElse(0L), n)))
+        }
+        ()
+      }.start()
+
+    val q1 = start()
+    mem.addData(Ev("BAD", 5, t(1)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(seen.get("$.doc_id.pattern").contains(1L))
+
+    // restart THE SAME query from its checkpoint; the second bad row in
+    // window 0-10s must ACCUMULATE onto the recovered state (count 2),
+    // not restart from 1
+    mem.addData(Ev("BAD2", 5, t(2)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.get("$.doc_id.pattern").contains(2L),
+        s"recovered state must accumulate to 2, got $seen")
+    } finally q2.stop()
+  }
+
   test("drift monitor state TTL: timeout removes state silently; group re-registers from zero") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
