@@ -28,13 +28,13 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.Literal(l: Long, _) => l
     case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _)  => i.toLong
     case other => throw new IllegalArgumentException(
-      s"gen_tokens: $what must be an integer literal, got ${other.sql}")
+      s"$what must be an integer literal, got ${other.sql}")
   }
 
   private def intArg(e: Expression, what: String): Int = {
     val l = longArg(e, what)
     require(l >= Int.MinValue && l <= Int.MaxValue,
-      s"gen_tokens: $what out of int range: $l")
+      s"$what out of int range: $l")
     l.toInt
   }
 
@@ -59,6 +59,42 @@ object GraftFunctions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "dot_prod(x ARRAY<numeric>, y ARRAY<numeric>)")
           graft.ops.DotProd(args(0), args(1))
+        }),
+      (
+        new FunctionIdentifier("shingles3"),
+        new ExpressionInfo(classOf[graft.ops.Shingles3].getName, "shingles3"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "shingles3(text STRING)")
+          graft.ops.Shingles3(args(0))
+        }),
+      (
+        new FunctionIdentifier("simhash_of_text"),
+        new ExpressionInfo(classOf[graft.ops.SimhashOfText].getName, "simhash_of_text"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "simhash_of_text(text STRING [, bits INT])")
+          val bits = if (args.length == 2) intArg(args(1), "bits")
+            else graft.ops.Dedup.SimhashBits
+          graft.ops.SimhashOfText(args(0), bits)
+        }),
+      (
+        new FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[graft.ops.MinhashSig].getName, "minhash_sig"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "minhash_sig(text STRING [, k INT]) — k-array of running mins")
+          val k = if (args.length == 2) intArg(args(1), "k") else 8
+          val coeffs = graft.ops.Dedup.minhashCoeffs(k)
+          graft.ops.MinhashSig(args(0), coeffs.map(_._1).toArray,
+            coeffs.map(_._2).toArray, graft.ops.TextOps.HashPrime)
+        }),
+      (
+        new FunctionIdentifier("word_stats"),
+        new ExpressionInfo(classOf[graft.ops.WordStats].getName, "word_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "word_stats(text STRING)")
+          graft.ops.WordStats(args(0), graft.ops.TextOps.Stopwords,
+            graft.ops.TextOps.LangMarkers.map(_._2), graft.ops.TextOps.HashPrime)
         }))
 
   /** Install into a live session (same registrations as the extension). */

@@ -64,6 +64,33 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(viaSql == 11.0)
   }
 
+  test("all codegen'd kernels are SQL-callable (extension surface) ≡ their Scala-API forms") {
+    graft.GraftFunctions.register(spark)
+    val docs = Seq("the cat sat on the mat", "el perro y la casa", "x").toDF("text")
+    docs.createOrReplaceTempView("gf_docs")
+
+    val sqlDf = spark.sql(
+      """SELECT shingles3(text) AS sh,
+                simhash_of_text(text) AS sim,
+                minhash_sig(text) AS ms,
+                word_stats(text) AS ws
+         FROM gf_docs""").collect()
+    val apiDf = docs.select(
+      Dedup.shingles(col("text")).as("sh"),
+      Dedup.simhash(col("text")).as("sim"),
+      graft.ops.TextOps.wordStats(col("text")).as("ws")).collect()
+    sqlDf.zip(apiDf).foreach { case (s, a) =>
+      assert(s.getSeq[String](0) == a.getSeq[String](0), "shingles3")
+      assert(s.getLong(1) == a.getLong(1), "simhash_of_text")
+      assert(s.getSeq[Long](3) == a.getSeq[Long](2), "word_stats")
+    }
+    // minhash_sig(text) array form ≡ the m0..m7 signature columns
+    val msSql = sqlDf.map(_.getSeq[Long](2))
+    val msApi = Dedup.minhashSignature(docs.withColumn("doc_id", col("text")), "doc_id", "text")
+      .select(array((0 until 8).map(i => col(s"m$i")): _*)).collect().map(_.getSeq[Long](0))
+    assert(msSql.toSeq == msApi.toSeq, "minhash_sig")
+  }
+
   test("Shingles3 ≡ HOF shinglesOfWords form: same values, same order, edge cases") {
     val edge = Seq("", "one", "one two", "a b c", "a b c d", "a a a a a",
       "x  y   z q", " lead", "trail ",
