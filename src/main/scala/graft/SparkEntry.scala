@@ -360,6 +360,15 @@ object SparkEntry {
       Dedup.minhashCandidatePairs(
         Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text"), "doc_id")),
 
+    // cluster resolution: LSH candidate pairs → connected components →
+    // canonical cluster id (= min doc_id of the component)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(
+          Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text"), "doc_id"),
+        "a", "b")
+        .select(col("id").as("doc_id"), col("cluster_id"))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(read(s, dir, "documents"), "doc_id", "text")),
 
@@ -723,6 +732,25 @@ object SparkEntry {
               ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
         }.mkString("\nUNION\n")
         s"WITH sig AS ($minhashSigSql)\n$bandJoins"
+      },
+
+      "dedup_clusters" -> {
+        val bandJoins = (0 until 4).map { b =>
+          val (c1, c2) = (s"m${2 * b}", s"m${2 * b + 1}")
+          s"""SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+              ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
+        }.mkString("\nUNION\n")
+        // transitive closure via recursive CTE, then min reachable id per
+        // node — the declarative equivalent of the engine's min-label
+        // propagation (oracle-side O(cluster²) is fine at test scale)
+        s"""WITH RECURSIVE sig AS ($minhashSigSql),
+            pairs AS ($bandJoins),
+            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+            reach(id, r) AS (
+              SELECT DISTINCT a, a FROM edges
+              UNION
+              SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.id = e.b)
+            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
       },
 
       "dedup_simhash" -> simhashSql,

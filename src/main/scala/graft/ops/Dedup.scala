@@ -242,6 +242,71 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Resolve candidate pairs into duplicate clusters: connected
+    * components over the pair graph, labeling every member with the
+    * component's minimum key (`cluster_id`). This is the step after LSH /
+    * Jaccard pairing in a real dedup pipeline — the keep-list is
+    * `cluster_id` itself, the drop-list is `id =!= cluster_id`.
+    *
+    * Algorithm: iterative min-label propagation PLUS pointer jumping
+    * (`lbl := lbl(lbl)`) per round. Propagation alone needs
+    * O(graph diameter) rounds — a chain of near-dups at corpus scale
+    * could be thousands of hops; the jumping step halves label-tree
+    * depth each round, giving O(log d) rounds total (the same
+    * convergence class as the alternating large-star/small-star
+    * contraction of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"). Each round is two key-shuffles (neighbor-min join +
+    * jump self-join) and one count; NO per-row neighborhood arrays are
+    * ever built (`collect_list` of a cluster would re-create the
+    * in-one-row O(n) blowup [[explodePairs]] exists to avoid — a hub
+    * node of a 10^8-doc cluster would hold the whole cluster in one
+    * value).
+    *
+    * Labels only decrease, so convergence is exact: stop when a round
+    * changes nothing. `localCheckpoint` truncates the growing lineage
+    * each round (on a cluster with a reliable checkpoint dir you would
+    * use `checkpoint` instead — same seam); edges are materialized once
+    * and re-scanned per round.
+    *
+    * Output: `(id, cluster_id)` — one row per node that appears in at
+    * least one pair (singletons are not duplicates and never enter the
+    * graph).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbor-min: for each node, the smallest label among neighbors
+      val nbrMin = edges
+        .join(labels.select(col("id").as("did"), col("lbl").as("dlbl")),
+          col("dst") === col("did"))
+        .groupBy(col("src")).agg(min(col("dlbl")).as("nmin"))
+      val prop = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl1"))
+      // pointer jump: adopt the label of the current label's node
+      val ptr = prop.select(col("id").as("pid"), col("lbl1").as("plbl"))
+      val next = prop
+        .join(ptr, col("lbl1") === col("pid"), "left")
+        .select(col("id"), col("prev"),
+          least(col("lbl1"), coalesce(col("plbl"), col("lbl1"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.where(col("lbl") =!= col("prev")).count()
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** Embedding cosine near-duplicate pairs within a blocking key (e.g. a
     * label or an LSH bucket): pairs with cosine ≥ threshold. The block
     * join keeps the pair space bounded; cosine is a fused zip_with +

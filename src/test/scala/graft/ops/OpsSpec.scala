@@ -388,4 +388,40 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(win.head._1 == 2L, "window ranks the NaN score first (Spark NaN-greatest)")
     assert(agg == win)
   }
+
+  test("connectedComponents labels every node with its component min (chains, stars, strings)") {
+    // component {0..5} as a pure CHAIN (diameter 5 — exercises pointer
+    // jumping: plain propagation needs 5 rounds, jump+propagate log),
+    // component {10,11,12} as a star, singleton pair {20,21}
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // string keys: lexicographic min is the canonical id (doc_ids sort)
+    val sp = Seq(("d03", "d07"), ("d07", "d01")).toDF("a", "b")
+    val gs = Dedup.connectedComponents(sp, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gs == Map("d03" -> "d01", "d07" -> "d01", "d01" -> "d01"))
+  }
+
+  test("connectedComponents ≡ brute-force transitive closure on a random pair graph") {
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute force: union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expect = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
 }
