@@ -323,6 +323,13 @@ object SparkEntry {
     "val_histogram" -> ((s, dir) =>
       Checks.histogram(read(s, dir, "documents"), "n_chars", 50.0, Seq("lang"))),
 
+    // grouped quantiles via exact percentile (bounded-domain column);
+    // the unbounded-domain scale path is approx_percentile — asserted
+    // within tolerance of this exact path by StatsAggregatorSpec
+    "val_quantiles" -> ((s, dir) =>
+      TableProfiler.quantiles(read(s, dir, "documents"),
+        Seq("lang"), "n_chars", Seq(0.25, 0.5, 0.75, 0.95))),
+
     "val_drift" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val hist = Checks.histogram(docs, "n_chars", 50.0, Seq("lang"))
@@ -399,6 +406,13 @@ object SparkEntry {
       read(s, dir, "documents").select(col("doc_id"),
         TextOps.fingerprint(col("text")).as("fp"),
         TextOps.rollingFingerprint(col("text")).as("rolling_fp"))),
+
+    // vocabulary heavy hitters: top 100 tokens by total count, with
+    // document frequency — TakeOrdered over the vocab-sized aggregate
+    "txt_vocab" -> ((s, dir) =>
+      TextOps.vocabStats(read(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("n_total").desc, col("token"))
+        .limit(100)),
 
     // === similarity search ===
     "ann_topk" -> ((s, dir) => {
@@ -573,6 +587,14 @@ object SparkEntry {
       "val_histogram" ->
         """SELECT lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS bucket, count(*) AS n
            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2""",
+
+      "val_quantiles" ->
+        """SELECT lang,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+           FROM documents GROUP BY 1""",
 
       // every group sees every baseline bucket (groups × baseline domain),
       // full-outer so observed-only buckets keep their p-mass — mirrors
@@ -793,6 +815,14 @@ object SparkEntry {
               list_transform($wordsSql, x -> ${hSql("x")})),
               (acc, x) -> (acc * 31 + x) % $P) AS rolling_fp
             FROM documents""",
+
+      "txt_vocab" ->
+        s"""WITH inst AS (SELECT doc_id, unnest($wordsSql) AS token FROM documents),
+            per AS (SELECT doc_id, token, count(*) AS c FROM inst GROUP BY 1, 2),
+            agg AS (SELECT token, CAST(sum(c) AS BIGINT) AS n_total, count(*) AS df
+                    FROM per GROUP BY 1)
+            SELECT token, n_total, df FROM agg
+            ORDER BY n_total DESC, token LIMIT 100""",
 
       "ann_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -70,6 +70,44 @@ object TableProfiler {
         max(col("_emax")).as("max_element"))
   }
 
+  /** Grouped quantiles of a numeric column (linear interpolation at
+    * index p·(n−1) — the quantile_cont definition, so results are
+    * oracle-comparable bit-for-bit after rounding).
+    *
+    * Uses EXACT `percentile`: its aggregation buffer is a counts-map
+    * over DISTINCT values, so memory is O(value domain) per group — the
+    * right tool for bounded-domain columns (`n_tok`, `n_chars`: a few
+    * thousand distinct values no matter how many rows). For unbounded
+    * continuous domains use `approxQuantiles` below (t-digest-style
+    * bounded sketch, mergeable across partitions) — asserted within
+    * tolerance of the exact path by StatsAggregatorSpec.
+    */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), pArr).as("_q"))
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("_q"), i + 1), 6).as(s"p${(p * 100).round}")
+    }
+    q.select(groupCols.map(col) ++ qCols: _*)
+  }
+
+  /** Sketch-based grouped quantiles: `approx_percentile` with bounded
+    * accuracy parameter — O(1/accuracy) memory per group regardless of
+    * the value domain; the 10^12-row path for continuous columns.
+    */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(approx_percentile(col(valueCol), pArr, lit(accuracy)).as("_q"))
+    val qCols = ps.zipWithIndex.map { case (p, i) =>
+      element_at(col("_q"), i + 1).cast("double").as(s"p${(p * 100).round}")
+    }
+    q.select(groupCols.map(col) ++ qCols: _*)
+  }
+
   private def isAtomic(dt: DataType): Boolean = dt match {
     case _: ArrayType | _: StructType | _: MapType | BinaryType => false
     case _                                                      => true

@@ -40,6 +40,26 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(words(text)).cast("long")
 
+  /** Corpus vocabulary statistics: per token, total occurrences
+    * (`n_total`) and document frequency (`df`). Two-stage aggregation:
+    * the first `groupBy(doc, token)` gets map-side partial combine, so
+    * what crosses the first shuffle is one row per DISTINCT (doc, token)
+    * pair — not one row per token instance (at 10^12 docs × 10³ tokens
+    * that is the difference between a bounded shuffle and a 10^15-row
+    * one). The second shuffle is vocabulary-sized. `df` falls out of the
+    * second stage as a plain `count` (each group = one document), with
+    * no `count(DISTINCT)` expansion anywhere.
+    *
+    * Heavy hitters = `.orderBy(desc("n_total"), asc("token")).limit(k)`
+    * on the result — Catalyst plans that as TakeOrdered (per-partition
+    * top-k, no global sort).
+    */
+  def vocabStats(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    df.select(col(keyCol).as("_doc"), explode(words(col(textCol))).as("token"))
+      .groupBy(col("_doc"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("n_total"), count(lit(1)).as("df"))
+
   /** A small English stopword list shared with the oracle SQL. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
 

@@ -62,4 +62,43 @@ class StatsAggregatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect()(0)
     assert(r.getLong(0) == df.count())
   }
+
+  test("exact grouped quantiles: interpolation definition; approx within tolerance") {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val exact = TableProfiler.quantiles(df, Seq("source"), "n_tok", ps)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    // independent definition: sort values, interpolate at p*(n-1)
+    val bySrc = df.select("source", "n_tok").collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        val v = rows.map(_.getInt(1).toDouble).sorted
+        s -> ps.map { p =>
+          val idx = p * (v.length - 1)
+          val (lo, hi) = (v(idx.floor.toInt), v(idx.ceil.toInt))
+          val g = idx - idx.floor
+          math.rint((lo * (1 - g) + hi * g) * 1e6) / 1e6
+        }
+      }
+    bySrc.foreach { case (s, exp) =>
+      assert(exact(s) == exp, s"exact quantiles for $s")
+    }
+    // sketch path: approx_percentile returns an OBSERVED element whose
+    // rank is within n/accuracy of the target — assert rank-window
+    // membership, not value distance (on sparse groups the nearest
+    // element can be numerically far from the interpolated quantile)
+    val approx = TableProfiler.approxQuantiles(df, Seq("source"), "n_tok", ps)
+      .collect().map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val sortedBySrc = df.select("source", "n_tok").collect()
+      .groupBy(_.getString(0)).map { case (s, rows) =>
+        s -> rows.map(_.getInt(1).toDouble).sorted
+      }
+    sortedBySrc.foreach { case (s, v) =>
+      approx(s).zip(ps).foreach { case (a, p) =>
+        val idx = p * (v.length - 1)
+        val slack = math.max(1, v.length / 1000)
+        val lo = v(math.max(0, idx.floor.toInt - slack))
+        val hi = v(math.min(v.length - 1, idx.ceil.toInt + slack))
+        assert(a >= lo && a <= hi, s"approx p$p for $s: $a outside rank window [$lo,$hi]")
+      }
+    }
+  }
 }
