@@ -142,6 +142,14 @@ object SoakBench {
       Dedup.simhashDf(docs, "doc_id", "text")
         .groupBy("simhash").count().where(col("count") > 1).count()
     }
+    run("cluster_resolution") {
+      // pairs → connected components at corpus scale: exercises the
+      // iterative propagate+jump loop's shuffles and localCheckpoints
+      // over millions of pairs (out_rows = nodes in ≥1 pair)
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id")
+      Dedup.connectedComponents(pairs, "a", "b").count()
+    }
 
     val total = results.map(_._2).sum
     val peak = results.map(_._4).max

@@ -274,12 +274,25 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists its RDD for the Dataset's lifetime; in an
+    // iterative loop the PREVIOUS round's labels-copy must be freed
+    // explicitly or block storage grows by one full labels-copy per
+    // round (a real leak at 10^12 nodes). Track the RDD ids each
+    // checkpoint adds and unpersist them when the round is superseded.
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    val (edges, edgeIds) = checkpointTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -294,16 +307,18 @@ object Dedup {
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl1"))
       // pointer jump: adopt the label of the current label's node
       val ptr = prop.select(col("id").as("pid"), col("lbl1").as("plbl"))
-      val next = prop
+      val (next, nextIds) = checkpointTracked(prop
         .join(ptr, col("lbl1") === col("pid"), "left")
         .select(col("id"), col("prev"),
-          least(col("lbl1"), coalesce(col("plbl"), col("lbl1"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl1"), coalesce(col("plbl"), col("lbl1"))).as("lbl")))
       changed = next.where(col("lbl") =!= col("prev")).count()
+      free(labelIds) // previous round's labels-copy is now superseded
       labels = next.select(col("id"), col("lbl"))
+      labelIds = nextIds
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter rounds")
+    free(edgeIds) // the result no longer needs the edge blocks
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 

@@ -406,6 +406,19 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(gs == Map("d03" -> "d01", "d07" -> "d01", "d01" -> "d01"))
   }
 
+  test("connectedComponents frees superseded checkpoint blocks (no per-round leak)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // a 40-deep chain forces several propagate+jump rounds
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.connectedComponents(pairs, "a", "b")
+    assert(out.where(col("cluster_id") === 0L).count() == 41L)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // only the FINAL labels checkpoint may remain persisted — every
+    // superseded round's copy and the edge blocks must be freed
+    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+  }
+
   test("connectedComponents ≡ brute-force transitive closure on a random pair graph") {
     val rnd = new scala.util.Random(11)
     val pairs = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
