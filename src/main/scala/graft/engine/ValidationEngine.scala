@@ -107,10 +107,21 @@ object ValidationEngine {
     * constraint set via [[annotateWith]]).
     */
   def violationsWith(annotated: DataFrame, keyCols: Seq[String]): DataFrame =
-    // filter before explode: passing rows (the overwhelming majority)
-    // never reach the generator
-    annotated.where(!col(PassCol))
-      .select(keyCols.map(col) :+ explode(col(ViolationsCol)).as("v"): _*)
+    // No `where(!valid)` before the explode, and explode_OUTER — both
+    // deliberate. A pre-filter (written, or inferred: a non-outer Generate
+    // makes InferFiltersFromGenerate add `size(violations) > 0`) gets
+    // pushed below the projection that computes `violations`
+    // (PushPredicateThroughNonJoin substitutes the alias with its defining
+    // expression), so for specs over parsed columns the ENTIRE constraint
+    // tree — including every from_json — is re-evaluated in a Filter under
+    // the parse projection. explode_outer blocks the inference; passing
+    // rows (valid true OR null — a false constraint forces the conjunction
+    // false) carry an empty array and surface as one v=NULL row, dropped
+    // by the post-Generate filter, which sits on the generated attribute
+    // and therefore cannot be pushed down.
+    annotated
+      .select(keyCols.map(col) :+ explode_outer(col(ViolationsCol)).as("v"): _*)
+      .where(col("v").isNotNull)
       .select(keyCols.map(col) :+
         col("v.constraint_id").as("constraint_id") :+
         col("v.offending").as("offending"): _*)
