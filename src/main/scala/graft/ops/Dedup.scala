@@ -301,10 +301,13 @@ object Dedup {
         .join(labels.select(col("id").as("did"), col("lbl").as("dlbl")),
           col("dst") === col("did"))
         .groupBy(col("src")).agg(min(col("dlbl")).as("nmin"))
-      val prop = labels
+      // checkpoint prop: it feeds BOTH sides of the pointer-jump join
+      // below, and an unmaterialized plan would re-run the neighbor-min
+      // join+aggregation once per side — 2x the per-round work
+      val (prop, propIds) = checkpointTracked(labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl1"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl1")))
       // pointer jump: adopt the label of the current label's node
       val ptr = prop.select(col("id").as("pid"), col("lbl1").as("plbl"))
       val (next, nextIds) = checkpointTracked(prop
@@ -312,6 +315,7 @@ object Dedup {
         .select(col("id"), col("prev"),
           least(col("lbl1"), coalesce(col("plbl"), col("lbl1"))).as("lbl")))
       changed = next.where(col("lbl") =!= col("prev")).count()
+      free(propIds)  // prop was only needed to build this round's next
       free(labelIds) // previous round's labels-copy is now superseded
       labels = next.select(col("id"), col("lbl"))
       labelIds = nextIds
