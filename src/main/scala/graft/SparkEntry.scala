@@ -22,6 +22,13 @@ object SparkEntry {
   // ---- shared constants (Spark impl ⇄ oracle SQL) ----
 
   val DocLangs: Seq[String] = Seq("en", "es", "de", "fr")
+
+  /** Stratified-sample demo rates: exact binary fractions, so
+    * `rate * 1e6` is integral and Spark's truncating long cast and
+    * DuckDB's rounding BIGINT cast agree on the threshold.
+    */
+  val SampleRates: Map[String, Double] = Map("src0" -> 0.125, "src1" -> 0.5)
+  val SampleDefaultRate: Double = 0.25
   val DocSpecJson: String =
     s"""{
       "type": "object",
@@ -386,6 +393,30 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"), "vec_id", "embedding",
         "label", 0.25)),
 
+    // === corpus assembly (canonical selection / sampling / packing) ===
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      // null doc_id/text rows are excluded on both sides: a null key has
+      // no cluster identity and a null text no quality (engines order
+      // SQL NULLs differently, so keeping them would be oracle-fragile)
+      val scored = TextOps.qualityFeatures(
+          docs.where(col("doc_id").isNotNull && col("text").isNotNull), "text")
+        .select(col("doc_id"), col("quality"))
+      val labels = Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(
+          Dedup.minhashSignature(docs, "doc_id", "text"), "doc_id"), "a", "b")
+      Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels)
+    }),
+
+    "samp_stratified" -> ((s, dir) =>
+      Pipeline.stratifiedSample(read(s, dir, "documents"), "doc_id", "source",
+          SampleRates, SampleDefaultRate)
+        .select(col("doc_id"), col("source"))),
+
+    "seq_pack" -> ((s, dir) =>
+      Pipeline.packSequences(read(s, dir, "documents"), "doc_id", "n_chars",
+        "source", budget = 8192L, nShards = 8)),
+
     // === text analysis ===
     "txt_tokens" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
@@ -531,6 +562,26 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
           sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
           SELECT doc_id, $ms FROM sh"""
+    }
+
+    /** Shared CTE chain `sig → pairs → edges → reach → cl` resolving
+      * minhash-LSH candidate pairs into clusters (`cl(id, cluster_id)`),
+      * spliced into `WITH RECURSIVE` by dedup_clusters/dedup_canonical.
+      */
+    val clusterCtesSql = {
+      val bandJoins = (0 until 4).map { b =>
+        val (c1, c2) = (s"m${2 * b}", s"m${2 * b + 1}")
+        s"""SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+            ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
+      }.mkString("\nUNION\n")
+      s"""sig AS ($minhashSigSql),
+          pairs AS ($bandJoins),
+          edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.id = e.b),
+          cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1)"""
     }
 
     val simhashSql = {
@@ -756,24 +807,49 @@ object SparkEntry {
         s"WITH sig AS ($minhashSigSql)\n$bandJoins"
       },
 
-      "dedup_clusters" -> {
-        val bandJoins = (0 until 4).map { b =>
-          val (c1, c2) = (s"m${2 * b}", s"m${2 * b + 1}")
-          s"""SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
-              ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
-        }.mkString("\nUNION\n")
-        // transitive closure via recursive CTE, then min reachable id per
-        // node — the declarative equivalent of the engine's min-label
-        // propagation (oracle-side O(cluster²) is fine at test scale)
-        s"""WITH RECURSIVE sig AS ($minhashSigSql),
-            pairs AS ($bandJoins),
-            edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-            reach(id, r) AS (
-              SELECT DISTINCT a, a FROM edges
-              UNION
-              SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.id = e.b)
-            SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1"""
+      // transitive closure via recursive CTE, then min reachable id per
+      // node — the declarative equivalent of the engine's min-label
+      // propagation (oracle-side O(cluster²) is fine at test scale)
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $clusterCtesSql
+            SELECT id AS doc_id, cluster_id FROM cl""",
+
+      // canonical selection: the engine's max(struct(score, key)) argmax
+      // rendered as a DESC/DESC row_number window — identical tie-break
+      // (score first, then key as VARCHAR, both descending)
+      "dedup_canonical" ->
+        s"""WITH RECURSIVE $clusterCtesSql,
+            q AS (SELECT doc_id,
+                  round(least(ns * 2.0 / nw, 1.0) * 0.5 + least(nw / 100.0, 1.0) * 0.5, 6) AS quality
+                  FROM (SELECT doc_id, len($wordsSql) AS nw,
+                        len(list_filter($wordsSql, x -> x IN (${inList(TextOps.Stopwords)}))) AS ns
+                        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
+            j AS (SELECT coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
+                         CAST(q.doc_id AS VARCHAR) AS k, q.quality AS s
+                  FROM q LEFT JOIN cl ON q.doc_id = cl.id)
+            SELECT cluster_id, k AS canonical_id, s AS best_score, n_docs FROM (
+              SELECT cluster_id, k, s,
+                     count(*) OVER (PARTITION BY cluster_id) AS n_docs,
+                     row_number() OVER (PARTITION BY cluster_id ORDER BY s DESC, k DESC) AS rn
+              FROM j) WHERE rn = 1""",
+
+      "samp_stratified" -> {
+        val rateCase = "CASE source " +
+          SampleRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+          s" ELSE $SampleDefaultRate END"
+        s"""SELECT doc_id, source FROM documents
+            WHERE (${hFullSql("CAST(doc_id AS VARCHAR)")} % ${Pipeline.SampleGranularity}) <
+                  CAST(($rateCase) * ${Pipeline.SampleGranularity} AS BIGINT)"""
       },
+
+      "seq_pack" ->
+        s"""SELECT doc_id, source, shard,
+            CAST(floor((cum - n_chars) / 8192.0) AS BIGINT) AS bin_id
+            FROM (SELECT doc_id, source, shard, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source, shard ORDER BY doc_id) AS cum
+                  FROM (SELECT doc_id, source, n_chars,
+                        (${hFullSql("CAST(doc_id AS VARCHAR)")} % 8) AS shard
+                        FROM documents))""",
 
       "dedup_simhash" -> simhashSql,
 

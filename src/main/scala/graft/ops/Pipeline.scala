@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators that sit downstream of dedup/quality in a
+  * training-data pipeline: canonical-document selection per duplicate
+  * cluster, deterministic stratified sampling, and sequence packing
+  * (concat-chunking) into fixed token budgets.
+  *
+  * All three are deterministic (hash- or order-based, no RNG state), so
+  * results are reproducible across runs, partitionings, and engines —
+  * the property the DuckDB oracles verify.
+  */
+object Pipeline {
+
+  /** Pick one canonical document per duplicate cluster: the
+    * highest-scoring member, ties broken by largest key (struct max is
+    * field-by-field, so `max(struct(score, key))` is the argmax with a
+    * deterministic tie-break — one hash aggregation with map-side
+    * partial merge, no window sort).
+    *
+    * `scored` is the corpus with a per-doc score column; `labels` is
+    * [[Dedup.connectedComponents]] output (`id`, `cluster_id`). Docs
+    * absent from `labels` are singletons: their cluster is their own
+    * key (matching the min-label convention, where a cluster's id is
+    * its smallest member key). The left join is shuffle-hash on the
+    * corpus key; `labels` only holds docs that had a duplicate pair, so
+    * it is orders of magnitude smaller than the corpus and
+    * broadcast-able in the common case.
+    */
+  def canonicalPerCluster(scored: DataFrame, keyCol: String, scoreCol: String,
+      labels: DataFrame): DataFrame =
+    scored
+      .join(labels.select(col("id").as("_lid"), col("cluster_id").as("_lcl")),
+        col(keyCol) === col("_lid"), "left")
+      .select(coalesce(col("_lcl"), col(keyCol)).as("cluster_id"),
+        col(keyCol).cast("string").as("_k"), col(scoreCol).cast("double").as("_s"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("_s"), col("_k"))).as("_best"),
+        count(lit(1L)).as("n_docs"))
+      .select(col("cluster_id"),
+        col("_best").getField("_k").as("canonical_id"),
+        col("_best").getField("_s").as("best_score"),
+        col("n_docs"))
+
+  /** Granularity of sampling rates: 1e-6. */
+  val SampleGranularity = 1000000L
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff
+    * `portableHash(key) mod 1e6 < rate(stratum) * 1e6`. Membership
+    * depends only on the key and the rate table — stable under
+    * re-partitioning, re-runs, and engine changes, and monotone in the
+    * rate (raising a stratum's rate only ADDS documents, so two samples
+    * at r1 < r2 are nested — the property that makes ablation corpora
+    * comparable). Pure scan-side filter: no shuffle, no RNG state, and
+    * the md5-based hash keeps it reproducible by any engine.
+    *
+    * Strata with no entry in `rates` fall back to `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0), "rates must be in [0,1]")
+    require(defaultRate >= 0.0 && defaultRate <= 1.0, "defaultRate must be in [0,1]")
+    val rate = coalesce(element_at(typedlit(rates), col(strataCol)), lit(defaultRate))
+    val bucket = pmod(TextOps.portableHash(col(keyCol).cast("string")),
+      lit(SampleGranularity))
+    df.where(bucket < (rate * SampleGranularity).cast("long"))
+  }
+
+  /** Sequence packing (concat-chunking, the GPT-style pretraining
+    * layout): within each (stratum, shard), order docs by key, take the
+    * running token total, and cut a new bin every `budget` tokens —
+    * `bin_id = floor(exclusive_cumsum / budget)`. A doc straddling a
+    * boundary belongs to the bin it starts in (bins can overflow by
+    * less than one doc; the trainer's concat+chunk absorbs it).
+    *
+    * The shard (`portableHash(key) mod nShards`) bounds every window
+    * partition to ~1/nShards of a stratum, so a skewed stratum (src0
+    * holds half the corpus in the test generator) never concentrates on
+    * one task and the per-partition sort stays in memory — the window
+    * is the op's one shuffle. Packing is deterministic per (stratum,
+    * shard): adding shards re-buckets docs but never reorders a bin's
+    * interior.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokCol: String,
+      strataCol: String, budget: Long, nShards: Int = 64): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy(col(strataCol), col("shard")).orderBy(col(keyCol))
+    df.withColumn("shard",
+        pmod(TextOps.portableHash(col(keyCol).cast("string")), lit(nShards.toLong)))
+      .withColumn("_cum", sum(col(tokCol).cast("long")).over(w))
+      .select(col(keyCol), col(strataCol), col("shard"),
+        floor((col("_cum") - col(tokCol).cast("long")).cast("double") / budget)
+          .cast("long").as("bin_id"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.SparkSessionTestWrapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // === canonicalPerCluster ===
+
+  private lazy val scored = Seq(
+    (10L, 0.9), (11L, 0.7), (12L, 0.9),  // cluster 10: tie 10 vs 12 on score
+    (20L, 0.5), (21L, 0.8),              // cluster 20: 21 wins on score
+    (30L, 0.3)                           // unlabeled singleton
+  ).toDF("doc_id", "quality")
+  private lazy val labels = Seq(
+    (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)
+  ).toDF("id", "cluster_id")
+
+  test("canonicalPerCluster: argmax by score, tie-break by largest key string") {
+    val out = Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels)
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (10L, "12", 0.9, 3L), // 0.9 tie between "10" and "12" → "12" (max string)
+      (20L, "21", 0.8, 2L),
+      (30L, "30", 0.3, 1L)  // absent from labels → own-key singleton cluster
+    ))
+  }
+
+  test("canonicalPerCluster: one row per cluster, every doc counted once") {
+    val out = Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels)
+    assert(out.count() == out.select("cluster_id").distinct().count())
+    assert(out.agg(sum("n_docs")).as[Long].head() == scored.count())
+  }
+
+  // === stratifiedSample ===
+
+  private lazy val corpus = spark.range(2000)
+    .select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+
+  test("stratifiedSample: deterministic, rate-monotone (nested samples), exact bounds") {
+    val lo = Pipeline.stratifiedSample(corpus, "doc_id", "source",
+      Map("src0" -> 0.125), defaultRate = 0.25)
+    val hi = Pipeline.stratifiedSample(corpus, "doc_id", "source",
+      Map("src0" -> 0.5), defaultRate = 0.25)
+    val loIds = lo.select("doc_id").as[Long].collect().toSet
+    val hiIds = hi.select("doc_id").as[Long].collect().toSet
+    // same keys every run (determinism) …
+    assert(loIds == Pipeline.stratifiedSample(corpus, "doc_id", "source",
+      Map("src0" -> 0.125), 0.25).select("doc_id").as[Long].collect().toSet)
+    // … and raising one stratum's rate only ADDS members of that stratum
+    assert(loIds.subsetOf(hiIds))
+    // rate 0 drops the stratum entirely; rate 1 keeps it entirely
+    val zero = Pipeline.stratifiedSample(corpus, "doc_id", "source", Map("src1" -> 0.0), 1.0)
+    assert(zero.where("source = 'src1'").count() == 0)
+    assert(zero.where("source <> 'src1'").count() == corpus.where("source <> 'src1'").count())
+  }
+
+  test("stratifiedSample: per-stratum rates land near expectation, default applies") {
+    val s = Pipeline.stratifiedSample(corpus, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.125), defaultRate = 0.25)
+    val bySrc = s.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 500 docs per stratum; md5 is uniform → binomial(500, r), ±5σ
+    def within(n: Long, r: Double): Boolean =
+      math.abs(n - 500 * r) <= 5 * math.sqrt(500 * r * (1 - r))
+    assert(within(bySrc.getOrElse("src0", 0L), 0.5), s"src0=${bySrc.get("src0")}")
+    assert(within(bySrc.getOrElse("src1", 0L), 0.125), s"src1=${bySrc.get("src1")}")
+    assert(within(bySrc.getOrElse("src2", 0L), 0.25), s"src2=${bySrc.get("src2")}")
+    assert(within(bySrc.getOrElse("src3", 0L), 0.25), s"src3=${bySrc.get("src3")}")
+  }
+
+  test("stratifiedSample rejects out-of-range rates") {
+    intercept[IllegalArgumentException] {
+      Pipeline.stratifiedSample(corpus, "doc_id", "source", Map("src0" -> 1.5))
+    }
+  }
+
+  // === packSequences ===
+
+  private lazy val seqs = spark.range(300)
+    .select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("source"),
+      (col("id") % 7 * 100 + 50).cast("long").as("n_tok"))
+
+  test("packSequences: bins are contiguous runs of the key order, start under budget") {
+    val out = Pipeline.packSequences(seqs, "doc_id", "n_tok", "source",
+      budget = 1000L, nShards = 4)
+    val rows = out.join(seqs, Seq("doc_id", "source"))
+      .select("source", "shard", "doc_id", "n_tok", "bin_id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+    rows.foreach { case ((src, shard), grp) =>
+      val sorted = grp.sortBy(_._3)
+      // replay the exclusive-cumsum chunking definition
+      var cum = 0L
+      sorted.foreach { case (_, _, id, n, bin) =>
+        assert(bin == cum / 1000L, s"doc $id in ($src,$shard)")
+        cum += n
+      }
+      // bin ids are non-decreasing along the key order (contiguity)
+      assert(sorted.map(_._5).sameElements(sorted.map(_._5).sorted))
+    }
+  }
+
+  test("packSequences: assignment is partitioning-invariant") {
+    val a = Pipeline.packSequences(seqs, "doc_id", "n_tok", "source", 1000L, 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = Pipeline.packSequences(seqs.repartition(13), "doc_id", "n_tok", "source", 1000L, 4)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("packSequences: every bin except the last per shard reaches its budget") {
+    // constant n_tok=250 divides budget 1000 → bins of exactly 4 docs
+    val uniform = spark.range(100).select(col("id").as("doc_id"),
+      lit("s").as("source"), lit(250L).as("n_tok"))
+    val out = Pipeline.packSequences(uniform, "doc_id", "n_tok", "source", 1000L, 1)
+    val sizes = out.groupBy("bin_id").count().as[(Long, Long)].collect().sortBy(_._1)
+    assert(sizes.forall(_._2 == 4L))
+    assert(sizes.map(_._1).toSeq == (0L until 25L))
+  }
+}
