@@ -66,7 +66,10 @@ trait TableIO {
   def splitDescriptor(): Option[String]
   /** Record the split descriptor before the first unit runs. */
   def writeSplitDescriptor(desc: String): Unit
-  /** Durably write one unit's violations (idempotent overwrite). */
+  /** Durably write one unit's violations (idempotent overwrite). MUST
+    * execute an eager action on the frame: the runner observes the
+    * unit's metrics (CollectMetrics) on that very job.
+    */
   def writeViolations(unitId: String, violations: DataFrame): Unit
   /** Commit point: mark the unit complete. MUST be the last write. */
   def commit(result: PartitionResult, committedAt: java.time.Instant): Unit
@@ -195,20 +198,24 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
                                           // source layout is partitioned
       val slice = pred.fold(partSlice)(partSlice.where)
       val ann = ValidationEngine.annotate(slice, spec)
-      val viol = ann.where(!col(ValidationEngine.PassCol))
-        .select(col(keyCol), explode(col(ValidationEngine.ViolationsCol)).as("v"))
-        .select(col(keyCol), col("v.constraint_id").as("constraint_id"),
-          col("v.offending").as("offending"))
-      io.writeViolations(unitId, viol)
-
-      // coalesce: a sub-unit slice can be legitimately empty (e.g. a
-      // tiny source crossed with a bucket that holds none of its keys)
-      val m = ann.agg(
+      // One pass per unit: the per-unit metrics are observed on the SAME
+      // job that writes the violations output (a CollectMetrics node over
+      // the annotated rows — every annotated row flows through it because
+      // violationsWith explodes OUTER), instead of a second full
+      // validate-and-aggregate scan; the separate agg doubled every
+      // unit's scan work, the dominant cost at 10^12 rows. Unit ids are
+      // unique per run, so concurrent units observe independently.
+      val obs = new org.apache.spark.sql.Observation(s"graft-metrics-$unitId")
+      val annObs = ann.observe(obs,
         count(lit(1)).as("n_rows"),
-        coalesce(sum(when(col(ValidationEngine.PassCol), 0L).otherwise(1L)), lit(0L)).as("n_failed"),
-        coalesce(sum(size(col(ValidationEngine.ViolationsCol)).cast("long")), lit(0L)).as("n_violations"))
-        .collect()(0)
-      val res = PartitionResult(unitId, m.getLong(0), m.getLong(1), m.getLong(2))
+        coalesce(sum(when(col(ValidationEngine.PassCol), 0L).otherwise(1L)),
+          lit(0L)).as("n_failed"),
+        coalesce(sum(size(col(ValidationEngine.ViolationsCol)).cast("long")),
+          lit(0L)).as("n_violations"))
+      io.writeViolations(unitId, ValidationEngine.violationsWith(annObs, Seq(keyCol)))
+      val m = obs.get // the write above was the action; its listener has the row
+      val res = PartitionResult(unitId, m("n_rows").asInstanceOf[Long],
+        m("n_failed").asInstanceOf[Long], m("n_violations").asInstanceOf[Long])
 
       // commit point: manifest row written only after outputs are durable
       io.commit(res, java.time.Instant.now())
