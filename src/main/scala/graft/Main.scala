@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** spark-submit entry point: checkpointed validation of a sequences table.
   *
   * Usage:
-  *   graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]
+  *   graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]
   *
   * Runs the full pipeline — row-level constraint validation (fused
   * Catalyst pass), per-partition verdicts, uniqueness / referential /
@@ -36,7 +36,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C]")
+        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
@@ -55,6 +55,12 @@ object Main {
     val concurrency = args.sliding(2).collectFirst {
       case Array("--concurrency", n) => n.toInt
     }.getOrElse(1)
+    // bound the written exemplar rows per (constraint, task partition);
+    // counts stay exact (systemic-defect protection — see
+    // ValidationEngine.violationsCappedWith)
+    val capViolations = args.sliding(2).collectFirst {
+      case Array("--capViolations", n) => n.toInt
+    }
 
     val builder0 = SparkSession.builder().appName("graft-validate")
     // spark-submit provides the master; standalone runs fall back to local
@@ -92,7 +98,8 @@ object Main {
     if (done.nonEmpty)
       println(s"[graft] resuming: ${done.size} partitions already committed: ${done.toSeq.sorted.mkString(",")}")
 
-    val results = runner.run(df, spec, "doc_id", "source", maxParts, split, concurrency)
+    val results = runner.run(df, spec, "doc_id", "source", maxParts, split,
+      concurrency, capViolations)
     results.foreach { r =>
       println(f"[graft] partition=${r.partition}%-12s rows=${r.nRows}%8d failed=${r.nFailed}%6d violations=${r.nViolations}%6d pass=${r.pass}")
     }

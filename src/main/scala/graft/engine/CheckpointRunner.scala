@@ -148,7 +148,7 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
     */
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
       limit: Option[Int] = None, split: SubSplit = SubSplit.None,
-      concurrency: Int = 1): Seq[PartitionResult] = {
+      concurrency: Int = 1, capViolations: Option[Int] = None): Seq[PartitionResult] = {
     require(concurrency >= 1, "concurrency must be >= 1")
     // commit units are only comparable across runs under the SAME split:
     // resuming with a different granularity would leave the old
@@ -212,7 +212,11 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
           lit(0L)).as("n_failed"),
         coalesce(sum(size(col(ValidationEngine.ViolationsCol)).cast("long")),
           lit(0L)).as("n_violations"))
-      io.writeViolations(unitId, ValidationEngine.violationsWith(annObs, Seq(keyCol)))
+      // the observation sits below the cap, so metrics stay EXACT even
+      // when the written exemplar set is bounded
+      io.writeViolations(unitId, capViolations.fold(
+        ValidationEngine.violationsWith(annObs, Seq(keyCol)))(k =>
+        ValidationEngine.violationsCappedWith(annObs, Seq(keyCol), k)))
       val m = obs.get // the write above was the action; its listener has the row
       val res = PartitionResult(unitId, m("n_rows").asInstanceOf[Long],
         m("n_failed").asInstanceOf[Long], m("n_violations").asInstanceOf[Long])

@@ -126,6 +126,36 @@ object ValidationEngine {
         col("v.constraint_id").as("constraint_id") :+
         col("v.offending").as("offending"): _*)
 
+  /** [[violationsWith]] bounded to at most `maxPerConstraint` exemplar
+    * rows per constraint per task partition. Under a SYSTEMIC defect —
+    * a bad writer, a schema change — every row fails and the violations
+    * output is as large as the corpus; what the operator needs is the
+    * exact counts (still exact: [[partitionVerdicts]], and
+    * CheckpointRunner's observed metrics sit BELOW the cap) plus a few
+    * offending exemplars per constraint, not 10^12 copies of the same
+    * defect. The cap is a per-partition streaming filter (mapPartitions
+    * with one counter per constraint id — bounded by the compiled
+    * constraint count): no shuffle, no sort, no skew sensitivity;
+    * output ≤ partitions × constraints × cap rows. mapPartitions is
+    * justified here (SURVEY §7 escape-hatch order) because a
+    * per-partition running counter has no declarative shuffle-free
+    * form — a window would shuffle the full violation stream.
+    */
+  def violationsCappedWith(annotated: DataFrame, keyCols: Seq[String],
+      maxPerConstraint: Int): DataFrame = {
+    require(maxPerConstraint > 0, "maxPerConstraint must be positive")
+    val full = violationsWith(annotated, keyCols)
+    val cidIdx = full.schema.fieldIndex("constraint_id")
+    full.mapPartitions { it =>
+      val seen = scala.collection.mutable.HashMap.empty[String, Int]
+      it.filter { r =>
+        val n = seen.getOrElse(r.getString(cidIdx), 0)
+        if (n < maxPerConstraint) { seen.update(r.getString(cidIdx), n + 1); true }
+        else false
+      }
+    }(org.apache.spark.sql.Encoders.row(full.schema))
+  }
+
   /** Per-row verdicts: key columns + `valid`. */
   def verdicts(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame =
     annotate(df, spec).select(keyCols.map(col) :+ col(PassCol): _*)

@@ -182,4 +182,34 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(again == a)
     assert(violationSet(s"$outA/violations/part=$p") == before)
   }
+
+  test("capViolations bounds written exemplars; observed metrics stay exact") {
+    val df = SequenceGen.generate(spark, 5000)
+    val nParts = df.rdd.getNumPartitions
+    val outFull = Files.createTempDirectory("graft_ckpt_full").toString
+    val outCap = Files.createTempDirectory("graft_ckpt_cap").toString
+    val full = new CheckpointRunner(spark, outFull).run(df, spec, "doc_id", "source")
+    val capped = new CheckpointRunner(spark, outCap)
+      .run(df, spec, "doc_id", "source", capViolations = Some(2))
+
+    // metrics are computed below the cap: identical to the uncapped run
+    assert(capped == full, "cap must not change observed counts")
+
+    // written rows: per (unit, constraint) at most cap × input partitions
+    // (the cap is per task partition), and never more than the full set
+    val fullV = spark.read.option("basePath", s"$outFull/violations")
+      .parquet(s"$outFull/violations")
+      .groupBy("part", "constraint_id").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val capV = spark.read.option("basePath", s"$outCap/violations")
+      .parquet(s"$outCap/violations")
+      .groupBy("part", "constraint_id").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capV.nonEmpty)
+    capV.foreach { case (k, n) =>
+      assert(n <= math.min(2L * nParts, fullV(k)), s"$k: $n exemplars")
+    }
+    // every constraint that fails somewhere still has at least one exemplar
+    assert(capV.keySet == fullV.keySet)
+  }
 }
