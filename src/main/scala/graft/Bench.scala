@@ -25,23 +25,27 @@ object Bench {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    // Per-query warmup + min-of-2 (the ScalingBench discipline): one
+    // Per-query warmup + min-of-3 (the ScalingBench discipline): one
     // untimed run absorbs JIT/classload/parquet-footer costs, then the
-    // min of two timed runs measures the PLAN. Noise in this sandbox is
-    // one-sided (cgroup page-charge stalls), so min is the right
-    // estimator.
+    // min of three timed runs measures the PLAN. Noise in this sandbox
+    // is one-sided (cgroup page-charge stalls and co-tenant bursts that
+    // outlast a two-rep window — measured: ann_ivf_topk 1.08 s quiet vs
+    // 3.3 s min-of-2 under a burst), so min over a wider window is the
+    // right estimator.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try {
         def run(): Unit = fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         run() // warmup
-        (1 to 2).map(_ => time(run())).min
+        (1 to reps).map(_ => time(run())).min
       } catch { case _: Throwable => -1.0 }
       name -> sec
     }
 
     // headline: validated sequences/sec on the primary input shape
-    // (production output shape: key + verdict + violations; min of 2
-    // timed runs after one warmup, matching ScalingBench methodology)
+    // (production output shape: key + verdict + violations; min of
+    // `reps` timed runs after one warmup, matching ScalingBench
+    // methodology)
     val seqRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
     val spec = spec_.docIndependentSpec
     def seqJob(): Unit =
@@ -49,7 +53,7 @@ object Bench {
         .select("doc_id", "valid", "violations")
         .write.format("noop").mode("overwrite").save()
     seqJob() // warmup
-    val vSec = (1 to 2).map(_ => time(seqJob())).min
+    val vSec = (1 to reps).map(_ => time(seqJob())).min
     val seqThroughput = seqRows / vSec
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
