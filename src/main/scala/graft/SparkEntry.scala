@@ -200,6 +200,12 @@ object SparkEntry {
 
   private def inList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
 
+  // PII regex sources (TextOps.PiiPatterns is the single source of
+  // truth; the same source text runs on both engines — RE2 ∩ Java)
+  private val piiEmailRe = TextOps.PiiPatterns(0)._2
+  private val piiIpv4Re = TextOps.PiiPatterns(1)._2
+  private val piiPhoneRe = TextOps.PiiPatterns(2)._2
+
   /** The violation arms of DocSpecJson as (cid, whereSql, offendingSql). */
   private val docViolationArms: Seq[(String, String, String)] = Seq(
     ("$.doc_id.required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)"),
@@ -444,6 +450,46 @@ object SparkEntry {
       TextOps.vocabStats(read(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("n_total").desc, col("token"))
         .limit(100)),
+
+    // PII detect + redact over a deterministically contaminated corpus
+    // (the synthetic texts carry no PII, so the query plants email/IP/
+    // phone strings derived from doc_id — both engines build the same
+    // contaminated text, then the op is measured on real matches)
+    "txt_pii" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val contaminated = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 1,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 2, lit(" call 555-867-5309"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.piiScan(contaminated, "text")
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+          col("redacted"))
+    }),
+
+    // intra-document repetition (duplicate word-3-gram ratio)
+    "txt_repetition" -> ((s, dir) =>
+      TextOps.repetitionFeatures(
+        read(s, dir, "documents").where(col("text").isNotNull),
+        "doc_id", "text")),
+
+    // benchmark decontamination: corpus docs sharing 3-grams with a
+    // deterministic "eval set" slice (doc_id % 17 = 3); benchmark side
+    // collapses to its distinct shingle set and broadcasts
+    "decon_overlap" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Dedup.contaminationScores(
+        docs.where(col("doc_id") % 17 =!= 3), "doc_id", "text",
+        docs.where(col("doc_id") % 17 === 3), "text")
+        .select(col("id").as("doc_id"), col("n_overlap"), col("contamination"))
+    }),
 
     // === similarity search ===
     "ann_topk" -> ((s, dir) => {
@@ -899,6 +945,50 @@ object SparkEntry {
                     FROM per GROUP BY 1)
             SELECT token, n_total, df FROM agg
             ORDER BY n_total DESC, token LIMIT 100""",
+
+      // patterns restricted to the RE2 ∩ java.util.regex common dialect
+      // (TextOps.PiiPatterns); DuckDB string literals take no backslash
+      // escapes, so the sources pass through verbatim
+      "txt_pii" ->
+        s"""WITH c AS (SELECT doc_id,
+              text
+              || (CASE WHEN doc_id % 3 = 0
+                       THEN ' contact u' || doc_id || '@mail.example.com' ELSE '' END)
+              || (CASE WHEN doc_id % 5 = 1
+                       THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END)
+              || (CASE WHEN doc_id % 7 = 2 THEN ' call 555-867-5309' ELSE '' END) AS t
+            FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(t, '$piiEmailRe')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(t, '$piiIpv4Re')) AS BIGINT) AS n_ipv4,
+              CAST(len(regexp_extract_all(t, '$piiPhoneRe')) AS BIGINT) AS n_phone,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '$piiEmailRe', '<EMAIL>', 'g'),
+                '$piiIpv4Re', '<IP>', 'g'),
+                '$piiPhoneRe', '<PHONE>', 'g') AS redacted
+            FROM c""",
+
+      "txt_repetition" ->
+        s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w
+                       FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT doc_id,
+                    CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 1 END AS n_grams,
+                    len($shinglesSql) AS nd
+                  FROM t)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   round(1.0 - nd / CAST(n_grams AS DOUBLE), 6) AS dup_ratio
+            FROM r""",
+
+      "decon_overlap" ->
+        s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+            sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+            b AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 17 = 3),
+            c AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                  FROM sh WHERE doc_id % 17 <> 3)
+            SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap,
+                   round(count(*) / CAST(n_sh AS DOUBLE), 6) AS contamination
+            FROM c JOIN b USING (s)
+            GROUP BY c.doc_id, c.n_sh""",
 
       "ann_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -326,6 +326,41 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Benchmark decontamination: per corpus doc sharing at least one word
+    * 3-gram with the benchmark set, the count of overlapping distinct
+    * shingles (`n_overlap`) and the contaminated fraction of the doc's
+    * own shingle set (`contamination`). Docs with zero overlap produce
+    * no row — at corpus scale the output is benchmark-adjacent, not
+    * corpus-sized.
+    *
+    * Scale shape: the benchmark side (eval sets — thousands of docs by
+    * contract, vs 10^12 corpus docs) collapses to its DISTINCT hashed
+    * shingle set and is broadcast; the corpus side is ONE scan
+    * (codegen'd [[shingles]] → explode → 8-byte `xxhash64` keys, same
+    * collision argument as [[ngramJaccardPairs]]) into a broadcast
+    * LEFT SEMI join — no shuffle of corpus data at all — followed by a
+    * per-doc hash aggregation with map-side partial combine. Spark
+    * plans the semi join as BroadcastHashJoin; nothing corpus-sized
+    * ever crosses the wire.
+    */
+  def contaminationScores(corpus: DataFrame, keyCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String): DataFrame = {
+    val bsh = bench
+      .select(explode(shingles(col(benchTextCol))).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+      .distinct()
+    corpus
+      .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+      .join(broadcast(bsh), Seq("s"), "left_semi")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_sh"), 6))
+      .select(col("id"), col("n_overlap"), col("contamination"))
+  }
+
   /** Embedding cosine near-duplicate pairs within a blocking key (e.g. a
     * label or an LSH bucket): pairs with cosine ≥ threshold. The block
     * join keeps the pair space bounded; cosine is a fused zip_with +

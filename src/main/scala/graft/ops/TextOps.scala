@@ -173,4 +173,54 @@ object TextOps {
   def rollingFingerprintRef(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, x) => (acc * 31L + bucketHash(x)) % HashPrime)
+
+  /** PII patterns, restricted to the RE2 ∩ java.util.regex common dialect
+    * (no lookaround, no backreferences) so the same source text runs on
+    * the engine and any RE2-based oracle: email, dotted-quad IPv4, and
+    * NANP-style dashed phone numbers.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
+
+  /** PII detection + redaction: per row, one match count per pattern
+    * (`n_email`, `n_ipv4`, `n_phone`) and the text with every match
+    * replaced by its tag, applied in [[PiiPatterns]] order. Shuffle-free
+    * projection of native `regexp_count` / `regexp_replace` expressions
+    * (codegen'd, compiled Pattern cached per task) — the scan cost is
+    * the regex automaton over the text, once per pattern.
+    */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (name, pat, _)) =>
+      d.withColumn(s"n_$name", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Intra-document repetition (the Gopher-style duplicate-n-gram rule):
+    * `n_grams` = number of word-3-gram positions, `dup_ratio` = fraction
+    * of positions occupied by an already-seen 3-gram
+    * (1 − distinct/total; 0 for docs shorter than 3 words, whose single
+    * whole-text shingle is trivially unique). Uses the codegen'd
+    * [[Shingles3]] set for the distinct count — one split pass — plus
+    * one `size(split)` for the position count; no shuffle.
+    */
+  def repetitionFeatures(df: DataFrame, keyCol: String, textCol: String): DataFrame =
+    // _nw is materialized as its own (non-cheap, multi-referenced)
+    // attribute so CollapseProject cannot inline one split() per
+    // reference site
+    df.select(col(keyCol),
+        size(words(col(textCol))).as("_nw"),
+        size(Dedup.shingles(col(textCol))).cast("long").as("_nd"))
+      .select(col(keyCol),
+        when(col("_nw") >= 3, col("_nw") - 2).otherwise(lit(1))
+          .cast("long").as("n_grams"),
+        col("_nd"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("_nd").cast("double") / col("n_grams"), 6))
+      .drop("_nd")
 }

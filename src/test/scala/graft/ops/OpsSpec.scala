@@ -437,4 +437,60 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
   }
+
+  test("piiScan counts and redacts emails, IPv4s, phones; clean text untouched") {
+    val rows = Seq(
+      (0L, "write to a.b-c%d@sub.example.org or x@y.io today"),
+      (1L, "server 10.0.255.7 and 192.168.1.1 up"),
+      (2L, "call 555-867-5309 now"),
+      (3L, "mixed u@v.com at 8.8.8.8 call 111-222-3333"),
+      (4L, "no pii here just words"),
+      (5L, "not an ip 1.2.3 and not a phone 12-345-6789")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScan(rows, "text")
+      .select("doc_id", "n_email", "n_ipv4", "n_phone", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((2L, 0L, 0L, "write to <EMAIL> or <EMAIL> today")))
+    assert(got(1L) == ((0L, 2L, 0L, "server <IP> and <IP> up")))
+    assert(got(2L) == ((0L, 0L, 1L, "call <PHONE> now")))
+    assert(got(3L) == ((1L, 1L, 1L, "mixed <EMAIL> at <IP> call <PHONE>")))
+    assert(got(4L) == ((0L, 0L, 0L, "no pii here just words")))
+    assert(got(5L) == ((0L, 0L, 0L, "not an ip 1.2.3 and not a phone 12-345-6789")))
+  }
+
+  test("repetitionFeatures: dup_ratio 0 for unique 3-grams, rises with repetition") {
+    val rows = Seq(
+      (0L, "a b c d e"),                 // 3 positions, all distinct
+      (1L, "x y x y x y x y"),           // 6 positions, 2 distinct shingles
+      (2L, "w w w w"),                   // 2 positions, 1 distinct
+      (3L, "short one")                  // <3 words: 1 trivially unique shingle
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(0L) == ((3L, 0.0)))
+    assert(got(1L) == ((6L, math.round((1.0 - 2.0 / 6) * 1e6) / 1e6)))
+    assert(got(2L) == ((2L, 0.5)))
+    assert(got(3L) == ((1L, 0.0)))
+  }
+
+  test("contaminationScores: overlap counts against a benchmark set; zero-overlap docs absent") {
+    val corpus = Seq(
+      (0L, "the cat sat on the mat today"),   // shares shingles with bench doc
+      (1L, "completely unrelated text about shuffles and joins"),
+      (2L, "the cat sat down")                // shares exactly "the cat sat"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 0: shingles of bench (4 of them) all appear among doc 0's 5
+    assert(got(0L) == ((4L, 0.8)))
+    // doc 2: "the cat sat" only, of its 2 shingles
+    assert(got(2L) == ((1L, 0.5)))
+    assert(!got.contains(1L), "zero-overlap docs must produce no row")
+    // the benchmark side reaches the join as a broadcast (plan-level)
+    val plan = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
 }
