@@ -97,9 +97,17 @@ object GraftFunctions {
             graft.ops.TextOps.LangMarkers.map(_._2), graft.ops.TextOps.HashPrime)
         }))
 
-  /** Install into a live session (same registrations as the extension). */
-  def register(spark: SparkSession): Unit =
+  /** Install into a live session (same registrations as the extension),
+    * plus the session-level UDF the emitted-SQL surface needs
+    * (`graft_is_valid_regex` — SQL text from [[graft.engine.SqlGen]]
+    * references it by name; udf.register is the only surface for a
+    * Scala-function UDF, so it is session-level, not extension-level).
+    */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }
+    spark.udf.register("graft_is_valid_regex",
+      graft.compile.SpecCompiler.isValidRegexFn)
+  }
 }

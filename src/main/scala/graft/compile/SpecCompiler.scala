@@ -47,11 +47,14 @@ object SpecCompiler {
   /** `format: "regex"` needs a compile-check UDF — the one reference
     * check with no Catalyst built-in (reference: Helpers.hs:31-56; only
     * the "regex" format is ever validated, all others are no-ops).
+    * The function is public so [[graft.GraftFunctions.register]] can
+    * install it by name (`graft_is_valid_regex`) for emitted-SQL use
+    * ([[graft.engine.SqlGen]]).
     */
-  private val isValidRegex = udf { (s: String) =>
+  val isValidRegexFn: String => Boolean = s =>
     if (s == null) true
     else scala.util.Try(java.util.regex.Pattern.compile(s)).isSuccess
-  }
+  private val isValidRegex = udf(isValidRegexFn)
 
   // ---------------------------------------------------------------------
   // public entry points

@@ -71,6 +71,30 @@ object ValidationEngine {
     }
   }
 
+  /** The pure all-constraints-pass conjunction (shared with [[SqlGen]]). */
+  def passColumn(constraints: Seq[CompiledConstraint]): Column =
+    constraints.map(_.pass).reduce(_ && _)
+
+  /** The failing-constraints array (un-gated — callers wrap it in a
+    * valid-row guard; shared with [[SqlGen]]).
+    */
+  def violationsArray(constraints: Seq[CompiledConstraint]): Column = {
+    val checks: Seq[Column] = constraints.map { k =>
+      struct(
+        lit(k.cid).as("constraint_id"),
+        k.pass.as("pass"),
+        when(!k.pass, k.offending.cast("string")).as("offending"))
+    }
+    transform(
+      filter(array(checks: _*), v => !v.getField("pass")),
+      v => struct(v.getField("constraint_id").as("constraint_id"),
+                  v.getField("offending").as("offending")))
+  }
+
+  /** The typed empty violations array (shared with [[SqlGen]]). */
+  def emptyViolations: Column = typedlit(Array.empty[(String, String)])
+    .cast("array<struct<constraint_id:string,offending:string>>")
+
   def annotateWith(df: DataFrame, constraints: Seq[CompiledConstraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints compiled — empty spec?")
     // Fast path: `valid` is a pure boolean conjunction (no allocation).
@@ -78,22 +102,9 @@ object ValidationEngine {
     // is only materialized for failing rows; If/CaseWhen branches evaluate
     // lazily under codegen, so passing rows (the overwhelming majority at
     // scale) never allocate.
-    val allPass: Column = constraints.map(_.pass).reduce(_ && _)
-    val checks: Seq[Column] = constraints.map { k =>
-      struct(
-        lit(k.cid).as("constraint_id"),
-        k.pass.as("pass"),
-        when(!k.pass, k.offending.cast("string")).as("offending"))
-    }
-    val emptyViolations = typedlit(Array.empty[(String, String)])
-      .cast("array<struct<constraint_id:string,offending:string>>")
-    val violationsForFailing = transform(
-      filter(array(checks: _*), v => !v.getField("pass")),
-      v => struct(v.getField("constraint_id").as("constraint_id"),
-                  v.getField("offending").as("offending")))
-    df.withColumn(PassCol, allPass)
+    df.withColumn(PassCol, passColumn(constraints))
       .withColumn(ViolationsCol,
-        when(col(PassCol), emptyViolations).otherwise(violationsForFailing))
+        when(col(PassCol), emptyViolations).otherwise(violationsArray(constraints)))
   }
 
   /** The violations Dataset: one row per (row key, failed constraint,
