@@ -34,9 +34,33 @@ object Main {
     }"""
 
   def main(args: Array[String]): Unit = {
+    // emitsql: print the compiled spec as a standalone SQL artifact
+    // (engine.SqlGen — the reference's generateModule analog); the input
+    // is read only for its SCHEMA, the emitted text runs anywhere
+    if (args.length >= 3 && args(0) == "emitsql") {
+      val spark = SparkSession.builder()
+        .appName("graft-emitsql")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[2]"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val specJson =
+        if (args(2) == "builtin") builtinSpec
+        else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2))))
+      val spec = SchemaParser.parse(specJson)
+      val schema =
+        if (args(1).startsWith("gen:")) SequenceGen.generate(spark, 1L).schema
+        else spark.read.parquet(args(1)).schema
+      val table = if (args.length > 3) args(3) else "sequences"
+      val keys = if (args.length > 4) args(4).split(",").toSeq else Seq("doc_id")
+      println(graft.engine.SqlGen.validationSql(spark, spec, schema, table, keys))
+      spark.stop()
+      return
+    }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]")
+        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]\n" +
+        "       graft.Main emitsql <inputParquetDir|gen:N> <specJsonFile|builtin> [tableName] [keyCols]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
