@@ -122,7 +122,10 @@ object SoakBench {
     // large heap — the soak's memory evidence is completion under the
     // bounded -Xmx; the peak column shows headroom
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Long, Long)]()
-    def run(op: String)(f: => Long): Unit = {
+    // SPARK_GRAFT_SOAK_OPS=op1,op2 re-runs a subset against the cached
+    // corpus (iterating on one op without paying for the full soak)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_OPS").map(_.split(",").toSet)
+    def run(op: String)(f: => Long): Unit = if (only.forall(_.contains(op))) {
       val (sec, out, peak) = timed(f)
       results += ((op, sec, out, peak))
       println(f"""{"op":"$op","sec":$sec%.1f,"rows":$rows,"out_rows":$out,"peak_heap_mb":$peak}""")
@@ -149,6 +152,21 @@ object SoakBench {
       val sig = Dedup.minhashSignature(docs, "doc_id", "text")
       val pairs = Dedup.minhashCandidatePairs(sig, "doc_id")
       Dedup.connectedComponents(pairs, "a", "b").count()
+    }
+    run("decontamination") {
+      // benchmark = an "eval set" sampled from the corpus distribution
+      // (id % 1009 == 5, ~rows/1009 docs) against the rest — the
+      // production shape: corpus-side shingle scan into a broadcast
+      // semi join. out_rows = contaminated corpus docs; at pool 65521
+      // (unique random shingles) contamination comes from the dup lanes
+      // — corpus docs sharing text with an eval-set doc via either
+      // direction of either dup lane (≈ 4·rows/16/1009) plus every
+      // corpus boilerplate doc once a boilerplate doc lands in the eval
+      // set (≈ rows/10007): 6,952 at 20M rows, matching the arithmetic.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+      val bench = docs.where(idNum === 5)
+      val corpus = docs.where(idNum =!= 5)
+      Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text").count()
     }
 
     val total = results.map(_._2).sum
