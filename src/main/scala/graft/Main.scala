@@ -36,7 +36,9 @@ object Main {
   def main(args: Array[String]): Unit = {
     // emitsql: print the compiled spec as a standalone SQL artifact
     // (engine.SqlGen — the reference's generateModule analog); the input
-    // is read only for its SCHEMA, the emitted text runs anywhere
+    // is read only for its SCHEMA — or pass `spec` to derive the schema
+    // from the spec itself (JsonlSource.schemaFor, the reference's
+    // spec→record-type mapping): no data touched at all
     if (args.length >= 3 && args(0) == "emitsql") {
       val spark = SparkSession.builder()
         .appName("graft-emitsql")
@@ -49,7 +51,8 @@ object Main {
         else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2))))
       val spec = SchemaParser.parse(specJson)
       val schema =
-        if (args(1).startsWith("gen:")) SequenceGen.generate(spark, 1L).schema
+        if (args(1) == "spec") graft.sources.JsonlSource.schemaFor(spec)
+        else if (args(1).startsWith("gen:")) SequenceGen.generate(spark, 1L).schema
         else spark.read.parquet(args(1)).schema
       val table = if (args.length > 3) args(3) else "sequences"
       val keys = if (args.length > 4) args(4).split(",").toSeq else Seq("doc_id")
@@ -60,7 +63,7 @@ object Main {
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
         "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]\n" +
-        "       graft.Main emitsql <inputParquetDir|gen:N> <specJsonFile|builtin> [tableName] [keyCols]")
+        "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
