@@ -61,7 +61,11 @@ object SqlGen {
         .map { case (n, v) => s"${n.sql}, ${render(v)}" }
       parts.mkString("named_struct(", ", ", ")")
     case u: ScalaUDF =>
-      // the compiler's single UDF (SpecCompiler.isValidRegex)
+      // the compiler's single UDF (SpecCompiler.isValidRegex) — guard by
+      // function identity so a future second UDF fails loudly instead of
+      // being mislabeled in emitted text
+      require(u.function == graft.compile.SpecCompiler.isValidRegexFn,
+        s"unknown UDF in compiled constraints: cannot emit SQL for ${u}")
       s"graft_is_valid_regex(${u.children.map(render).mkString(", ")})"
     case l: Literal => renderLiteral(l.value, l.dataType)
     case leaf if leaf.children.isEmpty => leaf.sql
