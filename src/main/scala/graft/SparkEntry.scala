@@ -524,6 +524,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // PQ scale path: corpus encoded to 8 codeword ids (8 subspaces of
+      // the 64-dim embedding, codebook = every-61st vector); queries
+      // rank by the asymmetric inner product over codes
+      val emb = read(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", every = 61L)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3, cb, nSub = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // === fused one-pass stats aggregator (SURVEY §4.2) over the primary
     // input shape, synthesized here from documents (tokens = per-word
     // code-point lengths) so every buffer field is exercised ===
@@ -1044,6 +1056,36 @@ object SparkEntry {
                       FROM s)
            SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
            FROM r WHERE rank <= 3""",
+
+      // PQ: nearest codeword per (vector, subspace) by L2 over the 8-dim
+      // slice (ties to the lowest codeword index, the engine's argmin
+      // rule); score = inner product against the reconstruction, which
+      // is summation-order-identical to the engine's PqAdc
+      "ann_pq_topk" ->
+        """WITH cw AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                              embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id % 61 = 0),
+                e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                d AS (SELECT e.vec_id, t.s, cw.cid,
+                             list_sum(list_transform(generate_series(1, 8),
+                               j -> (v[t.s*8+j] - cv[t.s*8+j]) * (v[t.s*8+j] - cv[t.s*8+j]))) AS dist
+                      FROM e, generate_series(0, 7) AS t(s), cw),
+                code AS (SELECT vec_id, s, cid FROM (
+                      SELECT vec_id, s, cid,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY dist ASC, cid ASC) AS rn FROM d) WHERE rn = 1),
+                recon AS (SELECT c.vec_id,
+                                 flatten(list(cw.cv[c.s*8+1 : c.s*8+8] ORDER BY c.s)) AS rv
+                          FROM code c JOIN cw ON cw.cid = c.cid
+                          GROUP BY c.vec_id),
+                q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                sc AS (SELECT q.qid, r.vec_id AS nid, list_inner_product(q.qv, r.rv) AS s
+                       FROM q, recon r WHERE r.vec_id <> q.qid),
+                rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY s DESC, nid ASC) AS rank FROM sc)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM rk WHERE rank <= 3""",
 
       "val_stats_agg" ->
         s"""WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

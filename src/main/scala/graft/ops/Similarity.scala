@@ -246,20 +246,29 @@ object Similarity {
     * aggregation. `c` must carry `_cell`/`_cn`; `q` must carry
     * `_cell`/`_qn`.
     */
-  private def cellJoinTopK(c: DataFrame, cKey: String, cVec: String,
-      q: DataFrame, qKey: String, qVec: String, k: Int): DataFrame = {
-    val topk = topKAggFor(c.schema(cKey).dataType, k)
-    c.join(broadcast(q), Seq("_cell"))
-      .where(col(qKey) =!= col(cKey))
-      .select(col(qKey),
-        col(cKey).as("_k"),
-        (dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn"))).as("_s"))
+  /** Bounded top-k + explode tail shared by the cell join and PQ paths:
+    * `scored` has (qKey, _k, _s); at most k rows per query cross the
+    * shuffle (TopKByScore partial aggregation).
+    */
+  private def topKExplode(scored: DataFrame, qKey: String, k: Int): DataFrame = {
+    val topk = topKAggFor(scored.schema("_k").dataType, k)
+    scored
       .groupBy(col(qKey))
       .agg(topk(col("_k"), col("_s")).as("top"))
       .select(col(qKey).as("query_id"), posexplode(col("top")).as(Seq("pos", "c")))
       .select(col("query_id"), col("c.key").as("neighbor_id"),
         (col("pos") + 1).as("rank"), round(col("c.score"), 6).as("cos"))
   }
+
+  private def cellJoinTopK(c: DataFrame, cKey: String, cVec: String,
+      q: DataFrame, qKey: String, qVec: String, k: Int): DataFrame =
+    topKExplode(
+      c.join(broadcast(q), Seq("_cell"))
+        .where(col(qKey) =!= col(cKey))
+        .select(col(qKey),
+          col(cKey).as("_k"),
+          (dot(col(qVec), col(cVec)) / (col("_qn") * col("_cn"))).as("_s")),
+      qKey, k)
 
   /** The probe side: each query exploded to its nprobe nearest cells. */
   private def probeSide(queries: DataFrame, qKey: String, qVec: String,
@@ -322,6 +331,56 @@ object Similarity {
       // names; normalize to the cell type the probe side produces
       .withColumn("_cell", col("_cell").cast("long"))
     cellJoinTopK(c, cKey, cVec, q, qKey, qVec, k)
+  }
+
+  /** PQ codebook from deterministic corpus samples (every `every`-th
+    * key, ordered): sampled FULL vectors whose subspace slices are the
+    * per-subspace codewords — one flat plan constant shared by
+    * [[pqEncode]] and [[pqAdc]] (layout: see [[Pq]]).
+    */
+  def pqCodebook(corpus: DataFrame, key: String, vec: String,
+      every: Long): Array[Array[Double]] =
+    corpusCentroids(corpus, key, vec, every).map(_._2)
+
+  /** PQ code column: `nSub` small ints per vector (codegen'd [[PqEncode]]). */
+  def pqEncode(vec: Column, codebook: Array[Array[Double]], nSub: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(PqEncode(EU.expression(vec), codebook.flatten,
+      codebook(0).length, nSub))
+  }
+
+  /** Asymmetric inner product of a raw query vector against a PQ code
+    * (codegen'd [[PqAdc]]); bit-equal to `dot(q, reconstruction)`.
+    */
+  def pqAdc(qvec: Column, codes: Column, codebook: Array[Array[Double]],
+      nSub: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(PqAdc(EU.expression(qvec), EU.expression(codes),
+      codebook.flatten, codebook(0).length, nSub))
+  }
+
+  /** PQ approximate top-k by asymmetric inner product: the corpus is
+    * ENCODED once (nSub ints per vector — the 10^12-vector memory play:
+    * 8 bytes instead of 256 at nSub=8/dim=64), queries broadcast, and
+    * each candidate costs one table-free ADC loop over codes. Ranking
+    * is by the quantized inner product (recall < 1 from quantization
+    * error; with every-vector-as-codeword the reconstruction is exact
+    * and this equals brute force by inner product — asserted in
+    * OpsSpec). In production this composes with IVF: cells prune WHICH
+    * codes are scanned, PQ shrinks WHAT a scan reads — the two are
+    * orthogonal, and this operator is the scan half.
+    */
+  def pqTopK(corpus: DataFrame, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      codebook: Array[Array[Double]], nSub: Int): DataFrame = {
+    val enc = corpus.select(col(cKey).as("_k"),
+      pqEncode(col(cVec), codebook, nSub).as("_codes"))
+    topKExplode(
+      enc.join(broadcast(queries.select(col(qKey), col(qVec))),
+          col(qKey) =!= col("_k"))
+        .select(col(qKey), col("_k"),
+          pqAdc(col(qVec), col("_codes"), codebook, nSub).as("_s")),
+      qKey, k)
   }
 
   /** Approximate top-k: like [[bruteForceTopK]] but each query only scans

@@ -438,6 +438,59 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == expect)
   }
 
+  test("PQ: every-vector-as-codeword reconstruction is exact — pqTopK ≡ brute force; ADC bit-equal to dot") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // codebook = EVERY corpus vector → encoding reconstructs exactly
+    val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", every = 1L)
+    val got = Similarity.pqTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3, cb, nSub = 4)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force by INNER PRODUCT (what ADC approximates), same tie rule
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("_s").desc, col("_k").asc)
+    val want = emb.crossJoin(q).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("_k"),
+        Similarity.dot(col("qvec"), col("embedding")).as("_s"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid"), col("_k"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+
+    // ADC against a COARSE codebook is bit-equal to dot(q, reconstruction)
+    val coarse = Similarity.pqCodebook(emb, "vec_id", "embedding", every = 7L)
+    val flat = coarse.flatten
+    val enc = emb.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), coarse, 4).as("codes")).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Int]](1).toArray).toMap
+    val qRows = q.collect().map(r =>
+      r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1).toArray).toMap
+    val adc = emb.crossJoin(q)
+      .select(col("qid"), col("vec_id"),
+        Similarity.pqAdc(col("qvec"),
+          Similarity.pqEncode(col("embedding"), coarse, 4), coarse, 4).as("s"))
+      .collect()
+    adc.foreach { r =>
+      val codes = enc(r.getLong(1))
+      val qv = qRows(r.getLong(0))
+      var expect = 0.0
+      for (s <- 0 until 4; j <- 0 until 4)
+        expect += qv(s * 4 + j) * flat(codes(s) * 16 + s * 4 + j)
+      assert(r.getDouble(2) == expect, s"ADC bitwise at (${r.getLong(0)},${r.getLong(1)})")
+    }
+
+    // null edges: null vector / wrong length → null code; null code → null score
+    val edge = Seq(
+      (0L, null.asInstanceOf[Array[Double]]),
+      (1L, Array.fill(5)(0.1))
+    ).toDF("id", "v")
+    val e = edge.select(Similarity.pqEncode(col("v"), coarse, 4).as("c")).collect()
+    assert(e.forall(_.isNullAt(0)))
+  }
+
   test("piiScan counts and redacts emails, IPv4s, phones; clean text untouched") {
     val rows = Seq(
       (0L, "write to a.b-c%d@sub.example.org or x@y.io today"),
