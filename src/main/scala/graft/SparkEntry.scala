@@ -536,6 +536,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // IVF + PQ composed (the production shape): cells prune which
+      // vectors are scanned (nprobe=2 of 9 cells), codes shrink what
+      // the scan reads (8 codeword ids); same sample set serves as
+      // coarse centroids and PQ codebook
+      val emb = read(s, dir, "embeddings")
+      val cents = Similarity.corpusCentroids(emb, "vec_id", "embedding", every = 61L)
+      val cb = cents.map(_._2)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3,
+        cents, nprobe = 2, cb, nSub = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     // === fused one-pass stats aggregator (SURVEY §4.2) over the primary
     // input shape, synthesized here from documents (tokens = per-word
     // code-point lengths) so every buffer field is exercised ===
@@ -1082,6 +1097,50 @@ object SparkEntry {
                       FROM embeddings WHERE vec_id < 8),
                 sc AS (SELECT q.qid, r.vec_id AS nid, list_inner_product(q.qv, r.rv) AS s
                        FROM q, recon r WHERE r.vec_id <> q.qid),
+                rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY s DESC, nid ASC) AS rank FROM sc)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM rk WHERE rank <= 3""",
+
+      // IVF cells/probes (cosine, ties to lowest cid — the ann_ivf rule)
+      // composed with the PQ encode/reconstruct CTEs (the ann_pq rule)
+      "ann_ivfpq_topk" ->
+        """WITH cent AS (SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+                         FROM embeddings WHERE vec_id % 61 = 0),
+                cells AS (SELECT vec_id, ccid AS cell FROM (
+                      SELECT e.vec_id, c.ccid,
+                             row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ccv) DESC,
+                                        c.ccid ASC) AS rn
+                      FROM embeddings e, cent c) WHERE rn = 1),
+                q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                probes AS (SELECT qid, ccid AS cell FROM (
+                      SELECT q.qid, c.ccid,
+                             row_number() OVER (PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.qv, c.ccv) DESC, c.ccid ASC) AS rn
+                      FROM q, cent c) WHERE rn <= 2),
+                cw AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                              embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id % 61 = 0),
+                e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                d AS (SELECT e.vec_id, t.s, cw.cid,
+                             list_sum(list_transform(generate_series(1, 8),
+                               j -> (v[t.s*8+j] - cv[t.s*8+j]) * (v[t.s*8+j] - cv[t.s*8+j]))) AS dist
+                      FROM e, generate_series(0, 7) AS t(s), cw),
+                code AS (SELECT vec_id, s, cid FROM (
+                      SELECT vec_id, s, cid,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY dist ASC, cid ASC) AS rn FROM d) WHERE rn = 1),
+                recon AS (SELECT c.vec_id,
+                                 flatten(list(cw.cv[c.s*8+1 : c.s*8+8] ORDER BY c.s)) AS rv
+                          FROM code c JOIN cw ON cw.cid = c.cid
+                          GROUP BY c.vec_id),
+                sc AS (SELECT q.qid, r.vec_id AS nid, list_inner_product(q.qv, r.rv) AS s
+                       FROM q JOIN probes p ON p.qid = q.qid
+                            JOIN cells ce ON ce.cell = p.cell
+                            JOIN recon r ON r.vec_id = ce.vec_id
+                       WHERE r.vec_id <> q.qid),
                 rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
                          ORDER BY s DESC, nid ASC) AS rank FROM sc)
            SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank

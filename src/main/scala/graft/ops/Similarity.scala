@@ -383,6 +383,32 @@ object Similarity {
       qKey, k)
   }
 
+  /** IVF + PQ composed — the production ANN shape at 10^12 vectors:
+    * the corpus index holds (cell, codes) per vector — the cell prunes
+    * WHICH vectors a query scans (nprobe/|centroids| of the corpus),
+    * the codes shrink WHAT the scan reads (nSub bytes, never the raw
+    * vector) — and candidates rank by the asymmetric inner product.
+    * With nprobe = all cells and an every-vector codebook this is
+    * exactly brute force (asserted in OpsSpec); production recall
+    * tuning is (nprobe, codebook size), orthogonal knobs.
+    */
+  def ivfPqTopK(corpus: DataFrame, cKey: String, cVec: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int,
+      codebook: Array[Array[Double]], nSub: Int): DataFrame = {
+    val enc = corpus.select(col(cKey).as("_k"),
+      ivfCell(col(cVec), centroids).as("_cell"),
+      pqEncode(col(cVec), codebook, nSub).as("_codes"))
+    val q = queries.select(col(qKey), col(qVec),
+      explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
+    topKExplode(
+      enc.join(broadcast(q), Seq("_cell"))
+        .where(col(qKey) =!= col("_k"))
+        .select(col(qKey), col("_k"),
+          pqAdc(col(qVec), col("_codes"), codebook, nSub).as("_s")),
+      qKey, k)
+  }
+
   /** Approximate top-k: like [[bruteForceTopK]] but each query only scans
     * its own LSH bucket (recall < 1, cost |corpus| / 2^bits per query).
     */

@@ -491,6 +491,35 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.forall(_.isNullAt(0)))
   }
 
+  test("ivfPqTopK with all probes and every-vector codebook ≡ brute force; fewer probes lose only recall") {
+    val rnd = new scala.util.Random(17)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Similarity.corpusCentroids(emb, "vec_id", "embedding", every = 11L)
+    val cbAll = Similarity.pqCodebook(emb, "vec_id", "embedding", every = 1L)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = collect(Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", 3, cents, nprobe = cents.length, cbAll, nSub = 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("_s").desc, col("_k").asc)
+    val brute = emb.crossJoin(q).where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("_k"),
+        Similarity.dot(col("qvec"), col("embedding")).as("_s"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
+      .select(col("qid"), col("_k"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(exact == brute,
+      "all-probes + exact-reconstruction IVFPQ must equal brute force")
+    // fewer probes: still 3 ranked results per query, a subset ranking
+    val pruned = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      q, "qid", "qvec", 3, cents, nprobe = 2, cbAll, nSub = 4)
+    assert(pruned.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("piiScan counts and redacts emails, IPv4s, phones; clean text untouched") {
     val rows = Seq(
       (0L, "write to a.b-c%d@sub.example.org or x@y.io today"),
