@@ -409,6 +409,44 @@ object Similarity {
       qKey, k)
   }
 
+  /** Materialize the IVF+PQ index: (key, codes) written PARTITIONED BY
+    * cell — the full production index build. Each vector persists as
+    * its key plus nSub small ints (the raw vectors are NOT in the
+    * index); probing reads only the probed cells' directories and only
+    * code bytes. At 10^12 vectors this is the difference between an
+    * index that fits hot storage and one that cannot.
+    */
+  def ivfPqWriteIndex(corpus: DataFrame, cKey: String, cVec: String,
+      centroids: Array[(Long, Array[Double])],
+      codebook: Array[Array[Double]], nSub: Int, path: String): Unit =
+    corpus.select(col(cKey),
+        pqEncode(col(cVec), codebook, nSub).as("_codes"),
+        ivfCell(col(cVec), centroids).as("_cell"))
+      .write.mode("overwrite").partitionBy("_cell").parquet(path)
+
+  /** ANN over a materialized [[ivfPqWriteIndex]] index: prune the scan
+    * to the probed cells ([[probeCells]] → `PartitionFilters`), rank by
+    * ADC over the stored codes. ≡ [[ivfPqTopK]] (asserted in
+    * IvfIndexSpec); the raw corpus is never touched at query time.
+    */
+  def ivfPqTopKIndexed(spark: SparkSession, path: String, cKey: String,
+      queries: DataFrame, qKey: String, qVec: String, k: Int,
+      centroids: Array[(Long, Array[Double])], nprobe: Int,
+      codebook: Array[Array[Double]], nSub: Int): DataFrame = {
+    val idx = indexScan(spark, path,
+        probeCells(queries, qVec, centroids, nprobe))
+      .withColumn("_cell", col("_cell").cast("long"))
+      .withColumnRenamed(cKey, "_k")
+    val q = queries.select(col(qKey), col(qVec),
+      explode(ivfProbes(col(qVec), centroids, nprobe)).as("_cell"))
+    topKExplode(
+      idx.join(broadcast(q), Seq("_cell"))
+        .where(col(qKey) =!= col("_k"))
+        .select(col(qKey), col("_k"),
+          pqAdc(col(qVec), col("_codes"), codebook, nSub).as("_s")),
+      qKey, k)
+  }
+
   /** Approximate top-k: like [[bruteForceTopK]] but each query only scans
     * its own LSH bucket (recall < 1, cost |corpus| / 2^bits per query).
     */

@@ -36,6 +36,25 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("ivfPqTopKIndexed over the (cell, codes) index ≡ in-memory ivfPqTopK; index holds no raw vectors") {
+    val idx = Files.createTempDirectory("graft_ivfpq_idx").toString
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", every = 7L)
+    Similarity.ivfPqWriteIndex(vecs, "vec_id", "embedding", cents, cb, nSub = 2, idx)
+    // the stored index is keys + codes only — the raw vectors never land
+    val stored = spark.read.parquet(idx)
+    assert(stored.columns.toSet == Set("vec_id", "_codes", "_cell"), stored.columns.mkString(","))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    for (nprobe <- Seq(2, cents.length)) {
+      val mem = rows(Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        queries, "qid", "qvec", 3, cents, nprobe, cb, nSub = 2))
+      val ind = rows(Similarity.ivfPqTopKIndexed(spark, idx, "vec_id",
+        queries, "qid", "qvec", 3, cents, nprobe, cb, nSub = 2))
+      assert(ind == mem, s"nprobe=$nprobe")
+    }
+  }
+
   test("probing the index is partition pruning: the scan lists only probed directories") {
     val idx = Files.createTempDirectory("graft_ivf_idx2").toString
     Similarity.ivfWriteIndex(vecs, "embedding", cents, idx)
