@@ -392,6 +392,17 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(read(s, dir, "documents"), "doc_id", "text")),
 
+    // simhash near-dup PAIRS: banded hamming LSH (perfect recall for
+    // maxDist < nBands by pigeonhole) + exact hamming verify; null
+    // doc_id/text excluded on both sides (dedup_canonical convention —
+    // positional pair expansion vs the oracle's `<` join treat nulls
+    // differently)
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(
+        read(s, dir, "documents")
+          .where(col("doc_id").isNotNull && col("text").isNotNull),
+        "doc_id", "text", maxDist = 3)),
+
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text", 0.1)),
 
@@ -925,6 +936,23 @@ object SparkEntry {
                         FROM documents))""",
 
       "dedup_simhash" -> simhashSql,
+
+      // banded candidates (UNION dedups across bands) + exact hamming;
+      // no bucket at sf0.01 reaches the engine's maxBucket cap
+      "dedup_simhash_pairs" -> {
+        val bandJoins = (0 until 4).map { b =>
+          val shift = b * 15
+          s"""SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+              FROM sig x JOIN sig y
+              ON ((x.simhash >> $shift) & 32767) = ((y.simhash >> $shift) & 32767)
+                 AND x.doc_id < y.doc_id"""
+        }.mkString("\nUNION\n")
+        s"""WITH sig AS (SELECT * FROM ($simhashSql)
+                         WHERE doc_id IS NOT NULL AND simhash IS NOT NULL),
+            cand AS ($bandJoins)
+            SELECT a, b, hamming FROM cand WHERE hamming <= 3"""
+      },
 
       "dedup_jaccard_pairs" ->
         s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),

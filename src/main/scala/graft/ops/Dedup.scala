@@ -195,6 +195,42 @@ object Dedup {
   /** Hamming distance between two simhash values (bit-count of XOR). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs: `hamming(simhash) <= maxDist` via
+    * banded LSH over the signature bits. The B-bit signature splits into
+    * `nBands` contiguous bands; by pigeonhole, two signatures within
+    * hamming `d < nBands` agree EXACTLY on at least one band — so
+    * band-equality bucketing has perfect recall for `maxDist < nBands`
+    * (no approximation beyond simhash itself), and candidates verify
+    * with one exact [[hammingDist]]. Same shuffle shape as
+    * [[minhashCandidatePairs]]: one corpus pass (simhash computed once
+    * by the codegen'd kernel), one band-keyed shuffle, bucketed — never
+    * all-pairs — with `maxBucket` bounding degenerate buckets (an
+    * identical-boilerplate band at corpus scale belongs to exact dedup)
+    * and pair expansion streaming at O(bucket) memory per row.
+    */
+  def simhashNearDupPairs(df: DataFrame, keyCol: String, textCol: String,
+      maxDist: Int = 3, bits: Int = SimhashBits, nBands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    require(maxDist < nBands, s"pigeonhole recall needs maxDist < nBands")
+    require(bits % nBands == 0, s"bits $bits not divisible by nBands $nBands")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("idx"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("band"))
+    }: _*)
+    val buckets = simhashDf(df, keyCol, textCol, bits)
+      .select(col(keyCol).as("id"), col("simhash"), explode(bandArr).as("bd"))
+      .groupBy(col("bd.idx").as("band_idx"), col("bd.band").as("band"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs"))
+      .where(size(col("docs")).between(2, maxBucket))
+    explodePairs(buckets, "docs")
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        hammingDist(col("l.simhash"), col("r.simhash")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** n-gram Jaccard similarity pairs ≥ `threshold`: explode distinct
     * shingles into an inverted index (ONE corpus pass — the md5 shingle
     * work is never recomputed), group doc ids per shingle, emit

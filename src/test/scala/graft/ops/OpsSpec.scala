@@ -520,6 +520,34 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pruned.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("simhashNearDupPairs ≡ brute-force hamming filter (banding is exact for maxDist < nBands)") {
+    // near-dup families: shared prefixes with 1-2 word edits produce
+    // small hamming distances; unrelated docs land far apart
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = (0 until 40).map { i =>
+      val t = i % 4 match {
+        case 0 => base
+        case 1 => base.replace("dog", s"cat$i")
+        case 2 => base.replace("quick", s"slow$i").replace("dog", s"cat$i")
+        case _ => s"completely unrelated document number $i about spark and shuffles and joins"
+      }
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(rows, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sig = Dedup.simhashDf(rows, "doc_id", "text")
+    val l = sig.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val r = sig.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    val want = l.crossJoin(r).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Dedup.hammingDist(col("ha"), col("hb")).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "the fixture must actually produce near-dup pairs")
+    assert(want.exists(_._3 > 0), "some pairs must be near (hamming > 0), not just exact")
+  }
+
   test("piiScan counts and redacts emails, IPv4s, phones; clean text untouched") {
     val rows = Seq(
       (0L, "write to a.b-c%d@sub.example.org or x@y.io today"),
