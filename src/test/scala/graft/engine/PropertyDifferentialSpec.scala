@@ -245,4 +245,35 @@ class PropertyDifferentialSpec extends AnyFunSuite with SparkSessionTestWrapper 
       }
     }
   }
+
+  test("emitted SQL ≡ engine on random specs (SqlGen renderer fuzz)") {
+    // the same generator space as the differential above, through the
+    // generateModule-analog SQL artifact: every rendered node family
+    // (lambdas from items/uniqueItems, literal arrays from enums, union
+    // OR-branches, extends/disallow composition) must round-trip
+    val seed0 = Seed(20260818L)
+    val specs = SGen.listOfN(20, genTableSpec)
+      .apply(SGen.Parameters.default, seed0).get
+    val rows = SGen.listOfN(40, genRow)
+      .apply(SGen.Parameters.default, seed0.next).get
+    val data = rows.map(r => Row(
+      r._1.orNull,
+      r._2.map(_.map(_.map(Integer.valueOf).orNull)).orNull,
+      r._3.map(Integer.valueOf).orNull,
+      r._4.orNull))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+    df.createOrReplaceTempView("sqlgen_fuzz")
+    def canon(rs: Array[Row]): Seq[String] = rs.map(_.toString).sorted.toSeq
+    specs.zipWithIndex.foreach { case (spec, si) =>
+      val sqlText = SqlGen.validationSql(spark, spec, schema, "sqlgen_fuzz", Seq("doc_id"))
+      assert(!sqlText.contains("namedlambdavariable"), s"spec#$si:\n$sqlText")
+      val got = canon(spark.sql(sqlText)
+        .selectExpr("doc_id", "valid", "violations").collect())
+      val want = canon(ValidationEngine.annotate(df, spec)
+        .selectExpr("doc_id", "valid", "violations").collect())
+      assert(got == want, s"spec#$si diverged\n spec=$spec\n sql=$sqlText")
+    }
+  }
 }
