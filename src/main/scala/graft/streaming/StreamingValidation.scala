@@ -44,6 +44,38 @@ object StreamingValidation {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming decontamination: flag arriving docs sharing a word
+    * 3-gram with a STATIC benchmark table — a stream-static join, the
+    * idiomatic shape for enrichment against slowly-changing reference
+    * data. The benchmark collapses to its distinct hashed shingle set
+    * once per micro-batch plan (small by the eval-set contract, so the
+    * join broadcasts); the stream side is the same stateless shingle
+    * scan as batch [[graft.ops.Dedup.contaminationScores]], and the
+    * per-doc overlap count is a per-batch aggregation over the doc's
+    * own rows. Emits `(id, n_sh, n_overlap, contamination)` per
+    * contaminated doc in UPDATE mode — aggregation state is one row per
+    * contaminated doc key (the same class as [[runningVerdicts]]; for
+    * strictly bounded state, run the batch operator per micro-batch via
+    * foreachBatch, since a doc's shingles all arrive with the doc).
+    */
+  def decontaminateStream(stream: DataFrame, keyCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String): DataFrame = {
+    import graft.ops.Dedup
+    val bsh = bench
+      .select(explode(Dedup.shingles(col(benchTextCol))).as("s0"))
+      .select(xxhash64(col("s0")).as("s"))
+      .distinct()
+    stream
+      .select(col(keyCol).as("id"), Dedup.shingles(col(textCol)).as("sh"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+      .join(broadcast(bsh), Seq("s"), "left_semi")
+      .groupBy(col("id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_sh"), 6))
+  }
+
   /** Per-source running verdict counts (update-mode aggregation):
     * `(source, n_rows, n_failed)` maintained incrementally.
     */

@@ -193,4 +193,34 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     noTtl("g1", Iterator(DriftEvent("g1", 0L)), s4).toSeq
     assert(!s4.getTimeoutTimestampMs.isPresent)
   }
+
+  test("streaming decontamination (stream-static semi join) ≡ batch contaminationScores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val benchRows = Seq((100L, "the cat sat on the mat"))
+    val docRows = Seq(
+      (0L, "the cat sat on the mat today"),          // overlaps bench
+      (1L, "completely unrelated text about joins"), // no overlap
+      (2L, "the cat sat down"))                      // 1 of 2 shingles
+    val bench = benchRows.toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingValidation.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+      .writeStream.format("memory").queryName("sv_decon").outputMode("update").start()
+    try {
+      mem.addData(docRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docRows.drop(2): _*) // second micro-batch
+      q.processAllAvailable()
+      val got = spark.table("sv_decon")
+        .groupBy("id").agg(max("n_overlap").as("n"), max("contamination").as("c"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val want = graft.ops.Dedup.contaminationScores(
+          docRows.toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == want)
+      assert(!got.contains(1L), "zero-overlap docs must emit nothing")
+    } finally q.stop()
+  }
 }
