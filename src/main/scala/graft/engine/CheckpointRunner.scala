@@ -200,8 +200,10 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
       val ann = ValidationEngine.annotate(slice, spec)
       // One pass per unit: the per-unit metrics are observed on the SAME
       // job that writes the violations output (a CollectMetrics node over
-      // the annotated rows — every annotated row flows through it because
-      // violationsWith explodes OUTER), instead of a second full
+      // the annotated rows — every annotated row flows through it:
+      // CollectMetrics is a predicate-pushdown barrier, so the
+      // `where(!valid)` of violationsWith's fast path stays ABOVE it,
+      // asserted by this class's spec), instead of a second full
       // validate-and-aggregate scan; the separate agg doubled every
       // unit's scan work, the dominant cost at 10^12 rows. Unit ids are
       // unique per run, so concurrent units observe independently.

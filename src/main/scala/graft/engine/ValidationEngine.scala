@@ -114,28 +114,64 @@ object ValidationEngine {
   def violations(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame =
     violationsWith(annotate(df, spec), keyCols)
 
+  /** True when the frame's plan carries expressions whose re-evaluation
+    * inside a pushed-down Filter would be a real per-row tax: parse
+    * expressions (`from_json`/`from_csv`/`from_xml` — the ones the
+    * engine itself introduces on the JsonlSource / parsed-map paths) and
+    * Scala UDFs (the `format:"regex"` check). Everything else the
+    * compiler emits is codegen'd comparisons/array ops, for which
+    * evaluate-in-filter-then-again-in-projection is the CHEAPER plan
+    * (failing rows are rare at scale).
+    */
+  private[engine] def hasExpensiveExprs(annotated: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CsvToStructs, JsonToStructs, ScalaUDF, XmlToStructs}
+    annotated.queryExecution.analyzed.exists(_.expressions.exists(_.exists {
+      case _: JsonToStructs | _: CsvToStructs | _: XmlToStructs | _: ScalaUDF => true
+      case _ => false
+    }))
+  }
+
   /** Violations from an already-annotated frame (or any custom
     * constraint set via [[annotateWith]]).
+    *
+    * Two strategies, chosen from the plan itself:
+    *
+    * FAST PATH (plain typed specs — the overwhelming case at scale):
+    * `where(!valid)` + plain `explode`. The pre-filter is pushed below
+    * the annotate projection (PushPredicateThroughNonJoin substitutes
+    * the alias with its defining conjunction), so passing rows — nearly
+    * all rows on a clean table — are dropped by one codegen'd filter and
+    * never reach the Generate; re-evaluating the cheap comparison
+    * conjunction in the filter costs less than streaming every passing
+    * row through the generator as a v=NULL row (measured ~1.5× on the
+    * plain typed events spec).
+    *
+    * OUTER PATH (plans carrying parse expressions or UDFs): that same
+    * pushdown substitution would re-evaluate the EXPENSIVE aliases —
+    * every `from_json` — inside an interpreted Filter under the parse
+    * projection, doubling the dominant per-row cost (measured ~3× on the
+    * parsed-map enum spec). `explode_outer` blocks the filter inference
+    * (and gives InferFiltersFromGenerate nothing to add); passing rows
+    * carry an empty array and surface as one v=NULL row, dropped by the
+    * post-Generate filter, which sits on the generated attribute and
+    * therefore cannot be pushed down.
     */
   def violationsWith(annotated: DataFrame, keyCols: Seq[String]): DataFrame =
-    // No `where(!valid)` before the explode, and explode_OUTER — both
-    // deliberate. A pre-filter (written, or inferred: a non-outer Generate
-    // makes InferFiltersFromGenerate add `size(violations) > 0`) gets
-    // pushed below the projection that computes `violations`
-    // (PushPredicateThroughNonJoin substitutes the alias with its defining
-    // expression), so for specs over parsed columns the ENTIRE constraint
-    // tree — including every from_json — is re-evaluated in a Filter under
-    // the parse projection. explode_outer blocks the inference; passing
-    // rows (valid true OR null — a false constraint forces the conjunction
-    // false) carry an empty array and surface as one v=NULL row, dropped
-    // by the post-Generate filter, which sits on the generated attribute
-    // and therefore cannot be pushed down.
-    annotated
-      .select(keyCols.map(col) :+ explode_outer(col(ViolationsCol)).as("v"): _*)
-      .where(col("v").isNotNull)
-      .select(keyCols.map(col) :+
-        col("v.constraint_id").as("constraint_id") :+
-        col("v.offending").as("offending"): _*)
+    if (!hasExpensiveExprs(annotated))
+      annotated
+        .where(!col(PassCol))
+        .select(keyCols.map(col) :+ explode(col(ViolationsCol)).as("v"): _*)
+        .select(keyCols.map(col) :+
+          col("v.constraint_id").as("constraint_id") :+
+          col("v.offending").as("offending"): _*)
+    else
+      annotated
+        .select(keyCols.map(col) :+ explode_outer(col(ViolationsCol)).as("v"): _*)
+        .where(col("v").isNotNull)
+        .select(keyCols.map(col) :+
+          col("v.constraint_id").as("constraint_id") :+
+          col("v.offending").as("offending"): _*)
 
   /** [[violationsWith]] bounded to at most `maxPerConstraint` exemplar
     * rows per constraint per task partition. Under a SYSTEMIC defect —

@@ -1,0 +1,97 @@
+package graft.engine
+
+import graft.SparkSessionTestWrapper
+import graft.compile.SpecCompiler
+import graft.spec.SchemaParser
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.JsonToStructs
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The violations explode strategy is conditional (round-3 verdict
+  * finding #1): plain typed specs take the `where(!valid)` + plain
+  * `explode` fast path (passing rows never reach the Generate — the
+  * ~1.5× constant-factor tax of unconditional explode_outer on clean
+  * tables); specs over expensive parsed aliases (`from_json`) keep the
+  * outer form so predicate pushdown cannot re-evaluate the parse inside
+  * a Filter. Both paths must return identical rows.
+  */
+class ViolationsStrategySpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val plainSpec = SchemaParser.parse(
+    """{"type": "object", "properties": {
+         "a": {"type": "integer", "required": true, "minimum": 0},
+         "s": {"type": "string", "minLength": 2}
+       }}""")
+
+  private def plainDf: DataFrame =
+    Seq((1L, Some(5L), "ok"), (2L, Some(-3L), "x"), (3L, None, "yy"))
+      .toDF("id", "a", "s")
+
+  // Range-based (not a LocalRelation) so the optimizer cannot
+  // constant-fold the parse away: k = 45*id - 42 → 3, 48, 93
+  private def parsedDf: DataFrame =
+    spark.range(1, 4).select(col("id"),
+      from_json(concat(lit("{\"k\": "), (col("id") * 45 - 42).cast("string"), lit("}")),
+        MapType(StringType, LongType)).as("m"))
+
+  private val mapSpec = SchemaParser.parse(
+    """{"type": "object",
+       "properties": {"k": {"type": "integer", "required": true, "minimum": 10, "maximum": 90}}}""")
+
+  private def generateOuterFlags(plan: LogicalPlan): Seq[Boolean] =
+    plan.collect { case g: Generate => g.outer }
+
+  private def countJsonParses(plan: LogicalPlan): Int =
+    plan.collect { case n =>
+      n.expressions.map { e =>
+        var c = 0
+        e.foreach { case _: JsonToStructs => c += 1; case _ => () }
+        c
+      }.sum
+    }.sum
+
+  test("plain typed spec takes the pre-filter + plain explode fast path") {
+    val ann = ValidationEngine.annotate(plainDf, plainSpec)
+    assert(!ValidationEngine.hasExpensiveExprs(ann))
+    val v = ValidationEngine.violationsWith(ann, Seq("id"))
+    val flags = generateOuterFlags(v.queryExecution.optimizedPlan)
+    assert(flags == Seq(false), s"expected one non-outer Generate, got $flags")
+    assert(v.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((2L, "$.a.minimum"), (2L, "$.s.minLength"), (3L, "$.a.required")))
+  }
+
+  test("from_json spec keeps the outer form and parses exactly once") {
+    val ann = ValidationEngine.annotateWith(parsedDf,
+      SpecCompiler.compileColumn(mapSpec, MapType(StringType, LongType), col("m"), "$"))
+    assert(ValidationEngine.hasExpensiveExprs(ann))
+    val v = ValidationEngine.violationsWith(ann, Seq("id"))
+    val opt = v.queryExecution.optimizedPlan
+    val flags = generateOuterFlags(opt)
+    assert(flags == Seq(true), s"expected one outer Generate, got $flags")
+    // the pushdown-tax regression this strategy exists to prevent: the
+    // parse must appear ONCE in the optimized plan, never duplicated
+    // into a pushed filter
+    assert(countJsonParses(opt) == 1,
+      s"from_json must be evaluated once; plan:\n$opt")
+    assert(v.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "$.k.minimum"), (3L, "$.k.maximum")))
+  }
+
+  test("both strategies return identical rows on the same annotated frame") {
+    val ann = ValidationEngine.annotate(plainDf, plainSpec)
+    val fast = ValidationEngine.violationsWith(ann, Seq("id"))
+    // the outer form, built manually (what the engine would do if the
+    // plan carried expensive aliases)
+    val outer = ann
+      .select(col("id"), explode_outer(col(ValidationEngine.ViolationsCol)).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("id"), col("v.constraint_id").as("constraint_id"),
+        col("v.offending").as("offending"))
+    assert(fast.collect().map(_.toString).sorted.toSeq ==
+      outer.collect().map(_.toString).sorted.toSeq)
+  }
+}
