@@ -171,6 +171,21 @@ object SparkEntry {
     }"""
   private lazy val enumMapSpec = SchemaParser.parse(EnumMapSpecJson)
 
+  /** Enum deep equality with a map BELOW the top level (a struct holding
+    * a parsed map): maps at any depth canonicalize to key-sorted entry
+    * arrays (SpecCompiler.mapCanon), matching the reference's structural
+    * compare at every nesting level (Validator.hs:47,77).
+    */
+  val EnumDeepSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "v": {"enum": [{"tag": "click", "m": {"k": 42}},
+                       {"tag": "view",  "m": {"k": 77}}]}
+      }
+    }"""
+  private lazy val enumDeepSpec = SchemaParser.parse(EnumDeepSpecJson)
+
   /** `default` application parity (reference CodeGen.hs generated
     * parsers): absent (NULL) properties are filled with the spec default
     * BEFORE validation, so a default that violates its own constraints
@@ -314,6 +329,15 @@ object SparkEntry {
         .where(col("props").isNotNull)
         .select(col("event_id"), from_json(col("props"), mt).as("m"))
       ValidationEngine.violations(df, enumMapSpec, Seq("event_id")).drop("offending")
+    }),
+
+    "val_enum_deep" -> ((s, dir) => {
+      val mt = MapType(StringType, LongType)
+      val df = read(s, dir, "events")
+        .where(col("props").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"),
+          struct(col("event_type").as("tag"), from_json(col("props"), mt).as("m")).as("v"))
+      ValidationEngine.violations(df, enumDeepSpec, Seq("event_id")).drop("offending")
     }),
 
     "val_defaults" -> ((s, dir) => {
@@ -850,6 +874,13 @@ object SparkEntry {
            FROM (SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
                  FROM events WHERE props IS NOT NULL)
            WHERE k NOT IN (42, 77)""",
+
+      "val_enum_deep" ->
+        """SELECT event_id, '$.v.enum' AS constraint_id
+           FROM (SELECT event_id, event_type AS tag,
+                        CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+                 FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL)
+           WHERE NOT ((tag = 'click' AND k = 42) OR (tag = 'view' AND k = 77))""",
 
       "val_defaults" ->
         """SELECT doc_id, '$.lang.enum' AS constraint_id, lang AS offending

@@ -559,24 +559,21 @@ object SpecCompiler {
     * Primitive columns use `isin` (one codegen'd `In`). Complex columns
     * compare against typed literals built by [[jsonLit]]: Catalyst
     * `===` is structural for arrays and structs (interior nulls compare
-    * as values, matching the engine's null≡absent collapse); MapType
-    * columns — where `===` is unsupported — compare key-sorted entry
-    * arrays, a canonical form both sides share. Enum values not
-    * representable in the physical type can never match and are skipped;
-    * types the compiler cannot order (a map nested below the top level)
-    * are a documented unsupported-spec error — never silent truncation.
+    * as values, matching the engine's null≡absent collapse); maps —
+    * where `===` is unsupported — are rewritten at ANY depth to their
+    * key-sorted entry arrays by [[mapCanon]], a canonical orderable form
+    * both sides share (the reference compares objects as key-sorted
+    * HashMaps at every level, Validator.hs:47). Enum values not
+    * representable in the physical type can never match and are skipped.
     */
   private def enumPass(allowed: Seq[JValue], dt: DataType): Column => Column = dt match {
     case _: ArrayType | _: StructType | _: MapType =>
-      val eqs: Seq[Column => Column] = dt match {
-        case mt: MapType =>
-          requireMapFree(mt.valueType, s"enum over ${dt.simpleString}")
-          allowed.flatMap(v => jsonLit(v, mt).map(l =>
-            (c: Column) => array_sort(map_entries(c)) === array_sort(map_entries(l))))
-        case _ =>
-          requireMapFree(dt, s"enum over ${dt.simpleString}")
+      val eqs: Seq[Column => Column] =
+        if (containsMap(dt))
+          allowed.flatMap(v => jsonLit(v, dt).map(l =>
+            (c: Column) => mapCanon(c, dt) === mapCanon(l, dt)))
+        else
           allowed.flatMap(v => jsonLit(v, dt).map(l => (c: Column) => c === l))
-      }
       c => eqs.map(_(c)).reduceOption(_ || _).getOrElse(FalseC)
     case _ =>
       val vs: Seq[Any] = dt match {
@@ -601,16 +598,53 @@ object SpecCompiler {
       c => if (vs.isEmpty) FalseC else c.isin(vs: _*)
   }
 
-  /** Catalyst `===` cannot order maps; reject them anywhere below the
-    * enum's top level (where the sorted-entries canonicalization above
-    * cannot reach) instead of silently compiling constant-false.
+  /** True when `dt` contains a MapType at any depth. */
+  private def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType       => true
+    case ArrayType(et, _) => containsMap(et)
+    case st: StructType   => st.fields.exists(f => containsMap(f.dataType))
+    case _                => false
+  }
+
+  /** The map-free image of a type under [[mapCanon]]: every MapType
+    * becomes an array of (key, value) entry structs, recursively.
     */
-  private def requireMapFree(dt: DataType, what: String): Unit = dt match {
-    case _: MapType => throw new IllegalArgumentException(
-      s"$what is not supported by the compiler (nested map equality)")
-    case ArrayType(et, _) => requireMapFree(et, what)
-    case st: StructType   => st.fields.foreach(f => requireMapFree(f.dataType, what))
-    case _                => ()
+  private def canonType(dt: DataType): DataType = dt match {
+    case MapType(kt, vt, vn) =>
+      ArrayType(StructType(Seq(
+        StructField("key", kt, nullable = false),
+        StructField("value", canonType(vt), vn))), containsNull = false)
+    case ArrayType(et, n) => ArrayType(canonType(et), n)
+    case st: StructType =>
+      StructType(st.fields.map(f => f.copy(dataType = canonType(f.dataType))))
+    case other => other
+  }
+
+  /** Canonicalize a value for deep equality: every map AT ANY DEPTH is
+    * replaced by its key-sorted entry array (keys are unique within a
+    * map, so the key alone fixes the order), values canonicalized
+    * recursively — after which the whole value is orderable and Catalyst
+    * `===` is exact structural equality. NULLs propagate (a null map,
+    * array, or struct canonicalizes to NULL). The flat-map fast arm
+    * skips the per-entry rebuild when values are already map-free — the
+    * common case keeps its original plan shape. Cost note: this runs
+    * only inside enum checks over map-bearing types (eval-only HOFs are
+    * acceptable there; the hot token-array path never sees it).
+    */
+  private def mapCanon(c: Column, dt: DataType): Column = dt match {
+    case mt: MapType if !containsMap(mt.valueType) =>
+      array_sort(map_entries(c))
+    case mt: MapType =>
+      array_sort(transform(map_entries(c), e =>
+        struct(e.getField("key").as("key"),
+          mapCanon(e.getField("value"), mt.valueType).as("value"))))
+    case ArrayType(et, _) if containsMap(et) =>
+      transform(c, x => mapCanon(x, et))
+    case st: StructType if containsMap(st) =>
+      when(c.isNull, lit(null).cast(canonType(st)))
+        .otherwise(struct(st.fields.toSeq.map(f =>
+          mapCanon(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case _ => c
   }
 
   private def jsonNum(v: JValue): Option[BigDecimal] = v match {
