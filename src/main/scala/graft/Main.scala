@@ -2,7 +2,7 @@ package graft
 
 import graft.engine._
 import graft.gen.SequenceGen
-import graft.spec.SchemaParser
+import graft.spec.{PatternDialect, SchemaParser}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,17 @@ object Main {
       }
     }"""
 
+  /** `--dialect posix` parses the spec's patterns as POSIX ERE
+    * (reference regex-tdfa's dialect, translated at parse time —
+    * spec.PosixRegex); default is Java regex, Spark `rlike`'s native
+    * dialect.
+    */
+  private def dialectOf(args: Array[String]): PatternDialect =
+    args.sliding(2).collectFirst {
+      case Array("--dialect", "posix") => PatternDialect.Posix
+      case Array("--dialect", "java")  => PatternDialect.Java
+    }.getOrElse(PatternDialect.Java)
+
   def main(args: Array[String]): Unit = {
     // emitsql: print the compiled spec as a standalone SQL artifact
     // (engine.SqlGen — the reference's generateModule analog); the input
@@ -49,21 +60,23 @@ object Main {
       val specJson =
         if (args(2) == "builtin") builtinSpec
         else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2))))
-      val spec = SchemaParser.parse(specJson)
+      val spec = SchemaParser.parse(specJson, dialectOf(args))
       val schema =
         if (args(1) == "spec") graft.sources.JsonlSource.schemaFor(spec)
         else if (args(1).startsWith("gen:")) SequenceGen.generate(spark, 1L).schema
         else spark.read.parquet(args(1)).schema
-      val table = if (args.length > 3) args(3) else "sequences"
-      val keys = if (args.length > 4) args(4).split(",").toSeq else Seq("doc_id")
+      val positional = args.drop(3).filterNot(_.startsWith("--"))
+        .filterNot(a => Seq("posix", "java").contains(a))
+      val table = positional.headOption.getOrElse("sequences")
+      val keys = positional.lift(1).map(_.split(",").toSeq).getOrElse(Seq("doc_id"))
       println(graft.engine.SqlGen.validationSql(spark, spec, schema, table, keys))
       spark.stop()
       return
     }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K]\n" +
-        "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols]")
+        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--dialect posix|java]\n" +
+        "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
@@ -108,7 +121,7 @@ object Main {
     val specJson =
       if (specArg == "builtin") builtinSpec
       else new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(specArg)))
-    val spec = SchemaParser.parse(specJson)
+    val spec = SchemaParser.parse(specJson, dialectOf(args))
 
     val df =
       if (input.startsWith("gen:")) SequenceGen.generate(spark, input.drop(4).toLong)

@@ -201,6 +201,22 @@ object SparkEntry {
     }"""
   private lazy val defaultsSpec = SchemaParser.parse(DefaultsSpecJson)
 
+  /** `default` application below the top level: array ELEMENT defaults
+    * (reference: the item parsers of CodeGen.hs:429-481 compose with the
+    * default substitution of CodeGen.hs:342-350) — a null element takes
+    * the element default before validation, so a default that violates
+    * the element bounds surfaces as an items violation.
+    */
+  val DefaultsDeepSpecJson: String =
+    """{
+      "type": "object",
+      "properties": {
+        "xs": {"type": "array",
+               "items": {"type": "integer", "default": 0, "minimum": 1}}
+      }
+    }"""
+  private lazy val defaultsDeepSpec = SchemaParser.parse(DefaultsDeepSpecJson)
+
   private val P = TextOps.HashPrime
   /** DuckDB rendering of TextOps.portableHash (full 60-bit). */
   private def hFullSql(e: String): String =
@@ -349,6 +365,21 @@ object SparkEntry {
           .otherwise(col("lang")).as("lang"))
       ValidationEngine.violations(
         ValidationEngine.applyDefaults(df, defaultsSpec), defaultsSpec, Seq("doc_id"))
+    }),
+
+    "val_defaults_deep" -> ((s, dir) => {
+      // inject element-level absence deterministically (doc_id % 3), fill
+      // with the element default (0), validate — the filled value violates
+      // the element minimum, so the default surfaces as an items violation
+      val df = read(s, dir, "documents").select(
+        col("doc_id"),
+        array(
+          when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars").cast("long")),
+          col("n_chars").cast("long")).as("xs"))
+      ValidationEngine.violations(
+        ValidationEngine.applyDefaults(df, defaultsDeepSpec), defaultsDeepSpec, Seq("doc_id"))
+        .drop("offending")
     }),
 
     // === per-column stats (single-pass profile) ===
@@ -888,6 +919,14 @@ object SparkEntry {
                    coalesce(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END, 'zz') AS lang
                  FROM documents)
            WHERE lang NOT IN ('en','es','de','fr')""",
+
+      // element 1 is NULL→0 when doc_id%3=0 or n_chars is NULL; element 2
+      // is NULL→0 when n_chars is NULL; a 0 element violates minimum 1
+      "val_defaults_deep" ->
+        """SELECT doc_id, '$.xs[*].minimum' AS constraint_id
+           FROM documents
+           WHERE coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END, 0) < 1
+              OR coalesce(n_chars, 0) < 1""",
 
       "chk_unique" ->
         """SELECT user_id, '$.user_id.unique' AS constraint_id,

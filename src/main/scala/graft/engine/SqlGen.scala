@@ -108,12 +108,38 @@ object SqlGen {
     * generate-time schema graph). Two-level text so `valid` — referenced
     * by the violations guard — is computed once, mirroring
     * [[ValidationEngine.annotateWith]]'s projection layering.
+    *
+    * When the spec carries `default`s, a third (innermost) SELECT
+    * re-projects every defaulted column under its own name, so the
+    * artifact computes exactly `applyDefaults` + `annotate` — the
+    * reference's generated parsers substitute defaults before
+    * validation (CodeGen.hs:342-350), and generateModule's emitted
+    * source includes that substitution; the SQL artifact must too.
     */
   def validationSql(spark: SparkSession, spec: SchemaSpec, schema: StructType,
       tableName: String, keyCols: Seq[String]): String = {
     val constraints = graft.compile.SpecCompiler.compileTable(spec, schema)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
+    // defaults layer: SELECT <filled AS name | name>, ... FROM table
+    val dmap = ValidationEngine.defaultExprs(spec, schema).toMap
+    val innerFrom =
+      if (dmap.isEmpty) tableName
+      else {
+        val probeD = empty.select(schema.fields.toSeq.map(f =>
+          dmap.getOrElse(f.name, org.apache.spark.sql.functions.col(f.name))
+            .as(f.name)): _*)
+        val projD = probeD.queryExecution.analyzed.collectFirst {
+          case p: Project => p.projectList
+        }.getOrElse(throw new IllegalStateException(
+          "expected the analyzed defaults probe plan to be a Project"))
+        val parts = schema.fields.toSeq.zip(projD).map { case (f, a) =>
+          if (dmap.contains(f.name)) s"${render(a.children.head)} AS ${f.name}"
+          else f.name
+        }
+        s"(SELECT ${parts.mkString(", ")} FROM $tableName)"
+      }
     // resolve the raw expressions against the schema: the ANALYZED plan
     // of a single select is a Project whose aliases carry them (the
     // optimizer is not involved — it would fold the empty relation away)
@@ -134,6 +160,6 @@ object SqlGen {
     s"""SELECT $keys, valid,
        |       CASE WHEN valid THEN $emptySql
        |            ELSE $violSql END AS violations
-       |FROM (SELECT *, $validSql AS valid FROM $tableName)""".stripMargin
+       |FROM (SELECT *, $validSql AS valid FROM $innerFrom)""".stripMargin
   }
 }

@@ -35,12 +35,34 @@ object ValidationEngine {
     * Top-level properties use `coalesce(col, defaultLit)`; properties
     * that are themselves structs recurse, rebuilding the struct with
     * defaulted fields (absent = NULL under the engine's null≡absent
-    * collapse). Defaults not representable in the physical column type
-    * are ignored (the reference would fail parsing such data anyway).
-    * One projection, codegen'd, shuffle-free.
+    * collapse). The recursion also reaches ARRAY ELEMENTS (single-schema
+    * `items` via `transform`, tuple `items` positionally via the indexed
+    * `transform` — parity with the reference's item parsers composed
+    * with default substitution, CodeGen.hs:429-481) and MAP VALUES
+    * (per-declared-key and additionalProperties-schema recursion via
+    * `transform_values`; a declared key ABSENT from the map whose
+    * default is representable is inserted via `map_concat` — maps have
+    * true key presence, so absence is observable, unlike struct NULLs).
+    * Defaults not representable in the physical column type are ignored
+    * (the reference would fail parsing such data anyway), and a default
+    * literal is inserted as-is (its own interior absences are not
+    * re-defaulted). One projection, shuffle-free (the HOF arms are
+    * eval-only but run only on map/array columns that carry defaults).
     */
-  def applyDefaults(df: DataFrame, spec: SchemaSpec): DataFrame = {
-    import org.apache.spark.sql.types.{DataType, StructType}
+  def applyDefaults(df: DataFrame, spec: SchemaSpec): DataFrame =
+    defaultExprs(spec, df.schema).foldLeft(df) { case (acc, (name, c)) =>
+      acc.withColumn(name, c)
+    }
+
+  /** The per-column default-filling expressions behind [[applyDefaults]]
+    * — (columnName, filledExpression) for every top-level property whose
+    * subtree carries a `default`. Exposed so [[SqlGen]] can render the
+    * same projection into the emitted artifact (the reference's
+    * generateModule output includes default handling, CodeGen.hs:342-350).
+    */
+  def defaultExprs(spec: SchemaSpec,
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, Column)] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
     def defaulted(sub: SchemaSpec, dt: DataType, c: Column): Column = {
       val filled = sub.default.flatMap(d => SpecCompiler.jsonLit(d, dt))
         .map(dl => coalesce(c, dl)).getOrElse(c)
@@ -55,18 +77,59 @@ object ValidationEngine {
           }
           // a wholly-absent struct stays NULL (absent ≠ empty object)
           when(filled.isNull, filled).otherwise(struct(fields: _*))
+        case at: ArrayType =>
+          sub.items match {
+            case Some(Left(one)) if hasDefaults(one) =>
+              // one schema for all elements; a NULL element takes the
+              // element default (null≡absent collapse applied per element)
+              transform(filled, x => defaulted(one, at.elementType, x))
+            case Some(Right(tuple)) if tuple.exists(hasDefaults) =>
+              transform(filled, (x, i) =>
+                tuple.zipWithIndex.foldLeft(x) { case (acc, (ts, j)) =>
+                  if (!hasDefaults(ts)) acc
+                  else when(i === j, defaulted(ts, at.elementType, x)).otherwise(acc)
+                })
+            case _ => filled
+          }
+        case mt: MapType =>
+          val keyed = sub.properties.toSeq.sortBy(_._1).filter(p => hasDefaults(p._2))
+          val addl = sub.additionalProperties match {
+            case Right(a) if hasDefaults(a) => Some(a)
+            case _                          => None
+          }
+          val withVals =
+            if (keyed.isEmpty && addl.isEmpty) filled
+            else transform_values(filled, (k, v) => {
+              val base = addl.map(a => defaulted(a, mt.valueType, v)).getOrElse(v)
+              keyed.foldLeft(base) { case (acc, (name, p)) =>
+                when(k === lit(name), defaulted(p, mt.valueType, v)).otherwise(acc)
+              }
+            })
+          // declared keys with representable defaults are ADDED when absent
+          keyed.foldLeft(withVals) { case (acc, (name, p)) =>
+            p.default.flatMap(d => SpecCompiler.jsonLit(d, mt.valueType)) match {
+              case Some(dl) =>
+                when(acc.isNull || map_contains_key(acc, name), acc)
+                  .otherwise(map_concat(acc, map(lit(name), dl)))
+              case None => acc
+            }
+          }
         case _ => filled
       }
     }
     def hasDefaults(s: SchemaSpec): Boolean =
-      s.default.isDefined || s.properties.values.exists(hasDefaults)
+      s.default.isDefined || s.properties.values.exists(hasDefaults) ||
+        s.items.exists {
+          case Left(one)   => hasDefaults(one)
+          case Right(tuple) => tuple.exists(hasDefaults)
+        } ||
+        s.additionalProperties.fold(_ => false, hasDefaults)
 
-    val schema = df.schema
-    spec.properties.foldLeft(df) { case (acc, (name, sub)) =>
+    spec.properties.toSeq.sortBy(_._1).flatMap { case (name, sub) =>
       schema.fields.find(_.name == name) match {
         case Some(f) if hasDefaults(sub) =>
-          acc.withColumn(name, defaulted(sub, f.dataType, col(name)))
-        case _ => acc
+          Some(name -> defaulted(sub, f.dataType, col(name)))
+        case _ => None
       }
     }
   }

@@ -98,4 +98,82 @@ class ApplyDefaultsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       fill(JObject(Nil), badSpec))
     assert(!eng && eng == orc)
   }
+
+  test("defaults reach array elements: struct fields inside items, null elements") {
+    val spec2 = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "arr":  {"type": "array",
+                    "items": {"type": "object",
+                              "properties": {"x": {"type": "integer", "default": 7},
+                                             "y": {"type": "string"}}}},
+           "nums": {"type": "array", "items": {"type": "integer", "default": 5}},
+           "tup":  {"type": "array",
+                    "items": [{"type": "integer", "default": 1}, {"type": "integer"}]}
+         }}""")
+    val elemT = StructType(Seq(
+      StructField("x", LongType, nullable = true),
+      StructField("y", StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("arr", ArrayType(elemT), nullable = true),
+      StructField("nums", ArrayType(LongType), nullable = true),
+      StructField("tup", ArrayType(LongType), nullable = true)))
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq(Row(null, "a"), Row(2L, "b")), Seq(null, 3L), Seq(null, null)),
+        Row(null, null, null)),
+      schema)
+    val got = ValidationEngine.applyDefaults(df2, spec2)
+      .select("arr", "nums", "tup").collect()
+    assert(got(0).getSeq[Row](0) == Seq(Row(7L, "a"), Row(2L, "b")),
+      "object items get their property defaults")
+    assert(got(0).getSeq[Any](1) == Seq(5L, 3L),
+      "null elements take the single-schema element default")
+    assert(got(0).getSeq[Any](2) == Seq(1L, null),
+      "tuple defaults are positional; positions without a default stay null")
+    assert(got(1) == Row(null, null, null), "wholly-absent arrays stay NULL")
+  }
+
+  test("defaults reach map values: declared-key fill + insertion, additional-schema recursion") {
+    val spec2 = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "m": {"type": "object",
+                 "properties": {"j": {"type": "integer", "default": 42}},
+                 "additionalProperties": {"type": "integer", "default": 9}}
+         }}""")
+    val schema = StructType(Seq(
+      StructField("m", MapType(StringType, LongType), nullable = true)))
+    val df2 = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Map("j" -> null, "k" -> null, "p" -> 3L)), // j,k null values
+        Row(Map("k" -> 1L)),                           // j absent → inserted
+        Row(null)),                                    // absent map stays NULL
+      schema)
+    val got = ValidationEngine.applyDefaults(df2, spec2)
+      .select("m").collect()
+    assert(got(0).getMap[String, Any](0).toMap ==
+      Map("j" -> 42L, "k" -> 9L, "p" -> 3L),
+      "declared key takes its own default, others the additional-schema default")
+    assert(got(1).getMap[String, Any](0).toMap == Map("k" -> 1L, "j" -> 42L),
+      "absent declared key is inserted with its default")
+    assert(got(2).isNullAt(0), "wholly-absent map stays NULL")
+
+    // dual-engine: validation after defaults agrees with the oracle on
+    // the default-filled JSON (j=42 passes minimum, additional 9 fails max 5)
+    val vspec = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "m": {"type": "object",
+                 "properties": {"j": {"type": "integer", "default": 42, "minimum": 10}},
+                 "additionalProperties": {"type": "integer", "default": 9, "maximum": 5}}
+         }}""")
+    val eng = ValidationEngine.annotate(
+        ValidationEngine.applyDefaults(df2, vspec), vspec)
+      .select(col(ValidationEngine.PassCol)).as[Boolean].collect().toSeq
+    val filledJson = Seq(
+      JObject(List("m" -> JObject(List("j" -> JInt(42), "k" -> JInt(9), "p" -> JInt(3))))),
+      JObject(List("m" -> JObject(List("k" -> JInt(1), "j" -> JInt(42))))),
+      JObject(Nil))
+    val orc = filledJson.map(j => OracleValidator.isValid(Map.empty, vspec, j))
+    assert(eng == orc)
+    assert(eng == Seq(false, true, true))
+  }
 }

@@ -131,6 +131,60 @@ class SqlGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertSqlEqualsEngine(df, specJson, Seq("id"), "sqlgen_map")
   }
 
+  test("specs with defaults emit the defaults projection (artifact ≡ applyDefaults + annotate)") {
+    import org.apache.spark.sql.types._
+    val specJson =
+      """{
+        "type": "object",
+        "properties": {
+          "id":   {"type": "integer", "required": true},
+          "lang": {"type": "string", "default": "zz", "enum": ["en", "de"]},
+          "xs":   {"type": "array", "items": {"type": "integer", "default": 0, "minimum": 1}}
+        }
+      }"""
+    val spec = SchemaParser.parse(specJson)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("lang", StringType, nullable = true),
+      StructField("xs", ArrayType(LongType), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "en", Seq(2L, 3L)),
+        Row(2L, null, Seq(null, 5L)), // lang → "zz" (enum viol), xs[0] → 0 (min viol)
+        Row(3L, "de", null)),
+      schema)
+    df.createOrReplaceTempView("sqlgen_defaults")
+    val sqlText = SqlGen.validationSql(spark, spec, df.schema, "sqlgen_defaults", Seq("id"))
+    val cols = Seq("id", "valid", "violations")
+    def canon(rows: Array[Row]): Seq[String] = rows.map(_.toString).sorted.toSeq
+    val got = canon(spark.sql(sqlText).selectExpr(cols: _*).collect())
+    val want = canon(ValidationEngine.annotate(
+        ValidationEngine.applyDefaults(df, spec), spec)
+      .selectExpr(cols: _*).collect())
+    assert(got == want, s"emitted SQL diverged from applyDefaults+annotate:\n$sqlText")
+    // non-degenerate: without the defaults layer the verdicts would differ
+    // (a NULL lang passes the enum guard; filled "zz" fails it)
+    val noDefaults = ValidationEngine.annotate(df, spec)
+      .selectExpr(cols: _*).collect()
+    assert(canon(noDefaults) != got)
+    assert(spark.sql(sqlText).where("NOT valid").count() == 1)
+  }
+
+  test("posix-dialect spec emits the translated pattern, runnable on stock SQL") {
+    val spec = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "id": {"type": "integer", "required": true},
+           "s":  {"type": "string", "pattern": "^[[:digit:]]+$"}}}""",
+      graft.spec.PatternDialect.Posix)
+    val df = Seq((1L, "123"), (2L, "12a"), (3L, "007")).toDF("id", "s")
+    df.createOrReplaceTempView("sqlgen_posix")
+    val sqlText = SqlGen.validationSql(spark, spec, df.schema, "sqlgen_posix", Seq("id"))
+    assert(!sqlText.contains("[[:"),
+      s"the raw POSIX class must be translated for the Java-regex surface:\n$sqlText")
+    val bad = spark.sql(sqlText).where("NOT valid").selectExpr("id").collect()
+    assert(bad.map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("the artifact runs as a CREATE VIEW (no library code on the query path)") {
     val df = Seq((1L, 5), (2L, -3)).toDF("id", "n")
     val spec = SchemaParser.parse(
