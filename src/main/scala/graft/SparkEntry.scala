@@ -970,7 +970,7 @@ object SparkEntry {
 
       // canonical selection: the engine's max(struct(score, key)) argmax
       // rendered as a DESC/DESC row_number window — identical tie-break
-      // (score first, then key as VARCHAR, both descending)
+      // (score first, then key IN ITS OWN TYPE, both descending)
       "dedup_canonical" ->
         s"""WITH RECURSIVE $clusterCtesSql,
             q AS (SELECT doc_id,
@@ -979,7 +979,7 @@ object SparkEntry {
                         len(list_filter($wordsSql, x -> x IN (${inList(TextOps.Stopwords)}))) AS ns
                         FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)),
             j AS (SELECT coalesce(cl.cluster_id, q.doc_id) AS cluster_id,
-                         CAST(q.doc_id AS VARCHAR) AS k, q.quality AS s
+                         q.doc_id AS k, q.quality AS s
                   FROM q LEFT JOIN cl ON q.doc_id = cl.id)
             SELECT cluster_id, k AS canonical_id, s AS best_score, n_docs FROM (
               SELECT cluster_id, k, s,

@@ -90,6 +90,19 @@ final class ParquetManifestIO(spark: SparkSession, outDir: String) extends Table
   override def completedUnits(): Set[String] =
     if (!Files.exists(Paths.get(manifestDir))) Set.empty
     else {
+      // an outDir from the pre-partitioned manifest layout has parquet
+      // files DIRECTLY under _manifest/ (flat Append commits); partition
+      // discovery over a mix of flat files and part=<id> subdirectories
+      // is undefined, so fail loudly instead of resuming wrong
+      val s = Files.list(Paths.get(manifestDir))
+      val legacyFlat =
+        try s.anyMatch(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      require(!legacyFlat,
+        s"$manifestDir uses the legacy flat manifest layout (parquet files " +
+          "directly under _manifest/); this version commits one " +
+          "part=<unitId> directory per unit — re-run into a fresh outDir")
       val df = spark.read.option("basePath", manifestDir).parquet(manifestDir)
       df.select("partition").collect().map(_.getString(0)).toSet
     }

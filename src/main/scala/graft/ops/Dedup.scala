@@ -17,6 +17,33 @@ object Dedup {
 
   import TextOps._
 
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Attach an observable dropped-bucket metric ahead of a bucket-cap
+    * filter: `<op>_buckets_<n>` carries `n_buckets` (before the cap) and
+    * `n_dropped_overcap`. The caps (default 2,000 — REDUCED from an
+    * earlier 100,000 for bounded-memory pair expansion at corpus scale;
+    * see [[minhashCandidatePairs]]) silently remove recall from buckets
+    * larger than the cap, so pipelines must be able to SEE how many
+    * buckets were dropped: read the metric from a
+    * `QueryExecutionListener` (`qe.observedMetrics`) after any action.
+    * CollectMetrics is a pushdown barrier, so the cap filter above it is
+    * not pushed below; cost is one counter pass over bucket rows (already
+    * shuffled), not corpus rows.
+    *
+    * AQE caveat: when the capped output is COMPLETELY empty (every bucket
+    * over the cap), adaptive empty-relation propagation can replace the
+    * downstream plan — metrics node included — so the metric is absent
+    * from `observedMetrics` for that query. Treat metric-absent +
+    * empty-output as "everything capped"; any surviving bucket keeps the
+    * metrics node alive.
+    */
+  private def observeCap(buckets: DataFrame, op: String, sizeCol: Column,
+      cap: Int): DataFrame =
+    buckets.observe(s"graft_${op}_buckets_${obsId.incrementAndGet()}",
+      count(lit(1)).as("n_buckets"),
+      sum(when(sizeCol > cap, 1L).otherwise(0L)).as("n_dropped_overcap"))
+
   /** Exact duplicate groups by normalized-content fingerprint: one row
     * per distinct content, with group size and the survivor (min key).
     * A single hash aggregation — partial map-side combine keeps shuffle
@@ -150,10 +177,11 @@ object Dedup {
         struct((0 until rowsPerBand).map(r =>
           col(s"m${b * rowsPerBand + r}").as(s"s$r")): _*).as("sig"))
     }: _*)
-    val buckets = sig
+    val buckets = observeCap(sig
       .select(col(keyCol).as("id"), explode(bandArr).as("bd"))
       .groupBy(col("bd.idx").as("band_idx"), col("bd.sig").as("band"))
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(collect_list(col("id")).as("ids")),
+      "minhash", size(col("ids")), maxBucket)
       .where(size(col("ids")).between(2, maxBucket))
     explodePairs(buckets, "ids")
       .select(col("l").as("a"), col("r").as("b"))
@@ -219,10 +247,11 @@ object Dedup {
       struct(lit(b).as("idx"),
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("band"))
     }: _*)
-    val buckets = simhashDf(df, keyCol, textCol, bits)
+    val buckets = observeCap(simhashDf(df, keyCol, textCol, bits)
       .select(col(keyCol).as("id"), col("simhash"), explode(bandArr).as("bd"))
       .groupBy(col("bd.idx").as("band_idx"), col("bd.band").as("band"))
-      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs")),
+      "simhash", size(col("docs")), maxBucket)
       .where(size(col("docs")).between(2, maxBucket))
     explodePairs(buckets, "docs")
       .select(col("l.id").as("a"), col("r.id").as("b"),
@@ -261,9 +290,10 @@ object Dedup {
       .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
       .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
-    val buckets = inv
+    val buckets = observeCap(inv
       .groupBy(col("s"))
-      .agg(collect_list(struct(col("id"), col("n_sh"))).as("docs"))
+      .agg(collect_list(struct(col("id"), col("n_sh"))).as("docs")),
+      "jaccard", size(col("docs")), maxDf)
       .where(size(col("docs")).between(2, maxDf))
     explodePairs(buckets, "docs")
       .select(

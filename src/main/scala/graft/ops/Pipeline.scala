@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Pick one canonical document per duplicate cluster: the
-    * highest-scoring member, ties broken by largest key (struct max is
-    * field-by-field, so `max(struct(score, key))` is the argmax with a
-    * deterministic tie-break — one hash aggregation with map-side
-    * partial merge, no window sort).
+    * highest-scoring member, ties broken by largest key IN THE KEY'S OWN
+    * TYPE (struct max is field-by-field, so `max(struct(score, key))` is
+    * the argmax with a deterministic tie-break — one hash aggregation
+    * with map-side partial merge, no window sort). `canonical_id` keeps
+    * the input key type; numeric keys tie-break numerically (10 > 9),
+    * not lexicographically.
     *
     * `scored` is the corpus with a per-doc score column; `labels` is
     * [[Dedup.connectedComponents]] output (`id`, `cluster_id`). Docs
@@ -36,7 +38,7 @@ object Pipeline {
       .join(labels.select(col("id").as("_lid"), col("cluster_id").as("_lcl")),
         col(keyCol) === col("_lid"), "left")
       .select(coalesce(col("_lcl"), col(keyCol)).as("cluster_id"),
-        col(keyCol).cast("string").as("_k"), col(scoreCol).cast("double").as("_s"))
+        col(keyCol).as("_k"), col(scoreCol).cast("double").as("_s"))
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("_s"), col("_k"))).as("_best"),
         count(lit(1L)).as("n_docs"))
@@ -66,7 +68,10 @@ object Pipeline {
     val rate = coalesce(element_at(typedlit(rates), col(strataCol)), lit(defaultRate))
     val bucket = pmod(TextOps.portableHash(col(keyCol).cast("string")),
       lit(SampleGranularity))
-    df.where(bucket < (rate * SampleGranularity).cast("long"))
+    // round, don't truncate: 0.3 * 1e6 is 299999.9999… in binary — a
+    // truncating cast would under-sample non-dyadic rates by one granule
+    // and diverge from engines whose BIGINT cast rounds (DuckDB)
+    df.where(bucket < round(rate * SampleGranularity).cast("long"))
   }
 
   /** Sequence packing (concat-chunking, the GPT-style pretraining

@@ -217,7 +217,10 @@ object TextOps {
         size(words(col(textCol))).as("_nw"),
         size(Dedup.shingles(col(textCol))).cast("long").as("_nd"))
       .select(col(keyCol),
-        when(col("_nw") >= 3, col("_nw") - 2).otherwise(lit(1))
+        // null text → null n_grams (not the otherwise(1) arm), so null
+        // docs null out consistently instead of reporting one gram
+        when(col("_nw").isNull, lit(null))
+          .when(col("_nw") >= 3, col("_nw") - 2).otherwise(lit(1))
           .cast("long").as("n_grams"),
         col("_nd"))
       .withColumn("dup_ratio",

@@ -52,6 +52,19 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((first ++ second).map(_.nRows).sum == 5000L)
   }
 
+  test("legacy flat manifest layout is rejected with a clear message, not misread") {
+    val out = Files.createTempDirectory("graft_ckpt_legacy").toString
+    // simulate a pre-partitioned-layout outDir: manifest rows appended as
+    // flat parquet files directly under _manifest/
+    import spark.implicits._
+    Seq(("src0", 10L, 0L, 0L, "t"))
+      .toDF("partition", "n_rows", "n_failed", "n_violations", "committed_at")
+      .write.mode("append").parquet(s"$out/_manifest")
+    val runner = new CheckpointRunner(spark, out)
+    val ex = intercept[IllegalArgumentException] { runner.completedPartitions() }
+    assert(ex.getMessage.contains("fresh outDir"), ex.getMessage)
+  }
+
   test("bucket sub-split: finer commit units, resume mid-source, totals match unsplit run") {
     val out = Files.createTempDirectory("graft_ckpt_sub").toString
     val df = SequenceGen.generate(spark, 5000)

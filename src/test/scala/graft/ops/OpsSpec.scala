@@ -584,6 +584,51 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(3L) == ((1L, 0.0)))
   }
 
+  test("repetitionFeatures: null text nulls out (no misleading n_grams=1)") {
+    val rows = Seq((0L, "a b c d e"), (1L, null)).toDF("doc_id", "text")
+    val got = TextOps.repetitionFeatures(rows, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(0L).getLong(1) == 3L)
+    assert(got(1L).isNullAt(1), "null text must yield null n_grams")
+    assert(got(1L).isNullAt(2), "null text must yield null dup_ratio")
+  }
+
+  test("over-cap LSH buckets are observable via the dropped-bucket metric") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var observed = Map.empty[String, Row]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        observed ++= qe.observedMetrics
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // 5 identical docs → every band collapses to ONE bucket of 5 > cap 3
+      // (dropped); 2 other identical docs → 4 surviving buckets of 2
+      // whose single pair keeps the output non-empty (an entirely-empty
+      // result would let AQE's empty-relation propagation drop the
+      // metrics node — documented caveat on observeCap)
+      val docs2 = ((0L until 5L).map(i => (i, "the cat sat on the mat and looked")) ++
+        Seq((10L, "an entirely different pair of documents colliding together"),
+            (11L, "an entirely different pair of documents colliding together")))
+        .toDF("doc_id", "text")
+      val sig = Dedup.minhashSignature(docs2, "doc_id", "text")
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id", maxBucket = 3).collect()
+      assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)),
+        "capped-out buckets produce no pairs; in-cap buckets still pair")
+      // listener delivery is async — poll
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!observed.keys.exists(_.startsWith("graft_minhash_buckets")) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val m = observed.collectFirst {
+        case (k, v) if k.startsWith("graft_minhash_buckets") => v
+      }.getOrElse(fail("dropped-bucket metric was not observed"))
+      assert(m.getAs[Long]("n_buckets") == 8L, m.toString)    // 4 dropped + 4 kept
+      assert(m.getAs[Long]("n_dropped_overcap") == 4L, m.toString)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("contaminationScores: overlap counts against a benchmark set; zero-overlap docs absent") {
     val corpus = Seq(
       (0L, "the cat sat on the mat today"),   // shares shingles with bench doc

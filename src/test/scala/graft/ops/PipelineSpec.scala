@@ -18,14 +18,29 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L)
   ).toDF("id", "cluster_id")
 
-  test("canonicalPerCluster: argmax by score, tie-break by largest key string") {
+  test("canonicalPerCluster: argmax by score, tie-break by largest key (native type)") {
     val out = Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels)
-      .as[(Long, String, Double, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
     assert(out.toSeq == Seq(
-      (10L, "12", 0.9, 3L), // 0.9 tie between "10" and "12" → "12" (max string)
-      (20L, "21", 0.8, 2L),
-      (30L, "30", 0.3, 1L)  // absent from labels → own-key singleton cluster
+      (10L, 12L, 0.9, 3L), // 0.9 tie between 10 and 12 → 12 (max key)
+      (20L, 21L, 0.8, 2L),
+      (30L, 30L, 0.3, 1L)  // absent from labels → own-key singleton cluster
     ))
+  }
+
+  test("canonicalPerCluster: numeric keys tie-break numerically, not lexicographically") {
+    // as strings '9' > '10'; the native long tie-break must pick 10
+    val s2 = Seq((9L, 0.5), (10L, 0.5)).toDF("doc_id", "quality")
+    val l2 = Seq((9L, 9L), (10L, 9L)).toDF("id", "cluster_id")
+    val out = Pipeline.canonicalPerCluster(s2, "doc_id", "quality", l2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.toSeq == Seq((9L, 10L, 0.5, 2L)))
+    // string keys keep string ordering and a string canonical_id
+    val s3 = Seq(("9", 0.5), ("10", 0.5)).toDF("doc_id", "quality")
+    val l3 = Seq(("9", "10"), ("10", "10")).toDF("id", "cluster_id")
+    val out3 = Pipeline.canonicalPerCluster(s3, "doc_id", "quality", l3)
+      .as[(String, String, Double, Long)].collect()
+    assert(out3.toSeq == Seq(("10", "9", 0.5, 2L)))
   }
 
   test("canonicalPerCluster: one row per cluster, every doc counted once") {
@@ -69,6 +84,17 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(within(bySrc.getOrElse("src1", 0L), 0.125), s"src1=${bySrc.get("src1")}")
     assert(within(bySrc.getOrElse("src2", 0L), 0.25), s"src2=${bySrc.get("src2")}")
     assert(within(bySrc.getOrElse("src3", 0L), 0.25), s"src3=${bySrc.get("src3")}")
+  }
+
+  test("stratifiedSample: non-dyadic rates use a rounded threshold (0.3 → 300000 granules)") {
+    // 0.3 * 1e6 = 299999.9999… in binary; a truncating cast keeps one
+    // granule too few. The kept set must be exactly {hash mod 1e6 < 300000}.
+    val got = Pipeline.stratifiedSample(corpus, "doc_id", "source",
+      Map.empty, defaultRate = 0.3).select("doc_id").as[Long].collect().toSet
+    val want = corpus.select(col("doc_id"),
+        pmod(TextOps.portableHash(col("doc_id").cast("string")), lit(1000000L)).as("b"))
+      .where(col("b") < 300000L).select("doc_id").as[Long].collect().toSet
+    assert(got == want)
   }
 
   test("stratifiedSample rejects out-of-range rates") {
