@@ -194,7 +194,7 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(!s4.getTimeoutTimestampMs.isPresent)
   }
 
-  test("streaming decontamination (stream-static semi join) ≡ batch contaminationScores") {
+  test("streaming decontamination (running result table) ≡ batch contaminationScores") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, text: String)
@@ -205,7 +205,7 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (2L, "the cat sat down"))                      // 1 of 2 shingles
     val bench = benchRows.toDF("doc_id", "text")
     val mem = MemoryStream[(Long, String)]
-    val q = StreamingValidation.decontaminateStream(
+    val q = StreamingValidation.decontaminateStreamRunning(
         mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text")
       .writeStream.format("memory").queryName("sv_decon").outputMode("update").start()
     try {
@@ -221,6 +221,41 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
       assert(got == want)
       assert(!got.contains(1L), "zero-overlap docs must emit nothing")
+    } finally q.stop()
+  }
+
+  test("bounded decontamination (foreachBatch default) ≡ batch, with ZERO cross-batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val docRows = Seq(
+      (0L, "the cat sat on the mat today"),
+      (1L, "completely unrelated text about joins"),
+      (2L, "the cat sat down"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingValidation.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bench, "text") {
+        (scores, _) =>
+          buf.synchronized {
+            buf ++= scores.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          }
+      }.start()
+    try {
+      mem.addData(docRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docRows.drop(2): _*)
+      q.processAllAvailable()
+      val want = graft.ops.Dedup.contaminationScores(
+          docRows.toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(buf.synchronized(buf.toSet) == want)
+      // the bounded form has NO stateful operator at all — state cannot
+      // grow with processed-doc count (the running form keeps one state
+      // row per contaminated doc forever)
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.isEmpty,
+        s"expected a stateless query, got ${prog.stateOperators.length} state operators")
     } finally q.stop()
   }
 }
