@@ -444,6 +444,19 @@ object SparkEntry {
         "a", "b")
         .select(col("id").as("doc_id"), col("cluster_id"))),
 
+    // incremental (daily-ingest) dedup: the existing corpus is indexed
+    // once (band rows partitioned by band hash), the new batch probes it
+    // — ≡ full-corpus pairs restricted to pairs with a new endpoint
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val newB = docs.where(col("doc_id") % 10 === 7)
+      val oldB = docs.where(col("doc_id") % 10 =!= 7)
+      val path = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
+      Dedup.minhashWriteIndex(oldB, "doc_id", "text", path)
+      Dedup.minhashIncrementalPairs(s, path, newB, "doc_id", "text")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(read(s, dir, "documents"), "doc_id", "text")),
 
@@ -699,6 +712,18 @@ object SparkEntry {
         s"list_min(list_transform(sh, s -> ((${hSql("s")} * $a + $b) % $P))) AS m$i"
       }.mkString(",\n  ")
       s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),
+          sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
+          SELECT doc_id, $ms FROM sh"""
+    }
+
+    // not-null-filtered variant (the incremental op's convention: a null
+    // key has no identity across batches, a null text no signature)
+    val minhashSigNNSql = {
+      val ms = Dedup.minhashCoeffs(8).zipWithIndex.map { case ((a, b), i) =>
+        s"list_min(list_transform(sh, s -> ((${hSql("s")} * $a + $b) % $P))) AS m$i"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents
+                     WHERE doc_id IS NOT NULL AND text IS NOT NULL),
           sh AS (SELECT doc_id, $shinglesSql AS sh FROM t)
           SELECT doc_id, $ms FROM sh"""
     }
@@ -959,6 +984,19 @@ object SparkEntry {
               ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
         }.mkString("\nUNION\n")
         s"WITH sig AS ($minhashSigSql)\n$bandJoins"
+      },
+
+      // full-corpus banded pairs (not-null sig) restricted to pairs with
+      // at least one new (doc_id % 10 = 7) endpoint — the incremental
+      // op's contract
+      "dedup_incremental" -> {
+        val bandJoins = (0 until 4).map { b =>
+          val (c1, c2) = (s"m${2 * b}", s"m${2 * b + 1}")
+          s"""SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y
+              ON x.$c1 = y.$c1 AND x.$c2 = y.$c2 AND x.doc_id < y.doc_id"""
+        }.mkString("\nUNION\n")
+        s"""WITH sig AS ($minhashSigNNSql), cand AS ($bandJoins)
+            SELECT a, b FROM cand WHERE a % 10 = 7 OR b % 10 = 7"""
       },
 
       // transitive closure via recursive CTE, then min reachable id per

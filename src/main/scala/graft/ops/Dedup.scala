@@ -154,6 +154,28 @@ object Dedup {
       .select(col("l"),
         explode(slice(col("_s"), col("_i") + 2, size(col("_s")) - col("_i") - 1)).as("r"))
 
+  /** The banded view of a minhash signature row: one struct per band
+    * (`idx`, `sig` = the band's `rowsPerBand` hash values). Shared by the
+    * one-shot pair op and the materialized-index path so both bucket on
+    * identical keys.
+    */
+  private def bandStructs(k: Int, rowsPerBand: Int): Column =
+    array((0 until k / rowsPerBand).map { b =>
+      struct(lit(b).as("idx"),
+        struct((0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").as(s"s$r")): _*).as("sig"))
+    }: _*)
+
+  /** One row per (doc, band) with the storage bucket `_pb` =
+    * `xxhash64(band_idx, band) mod nPartBuckets` — the partition key of
+    * the materialized band index.
+    */
+  private def bandRows(sig: DataFrame, keyCol: String, k: Int,
+      rowsPerBand: Int, nPartBuckets: Int): DataFrame =
+    sig.select(col(keyCol).as("id"), explode(bandStructs(k, rowsPerBand)).as("bd"))
+      .select(col("id"), col("bd.idx").as("band_idx"), col("bd.sig").as("band"),
+        pmod(xxhash64(col("bd.idx"), col("bd.sig")), lit(nPartBuckets.toLong)).as("_pb"))
+
   /** LSH candidate pairs from minhash signatures: band the signature
     * (rows-per-band=2), group keys by (band index, banded values), emit
     * within-bucket pairs, dedup across bands.
@@ -171,20 +193,73 @@ object Dedup {
     */
   def minhashCandidatePairs(sig: DataFrame, keyCol: String, k: Int = 8,
       rowsPerBand: Int = 2, maxBucket: Int = 2000): DataFrame = {
-    val nBands = k / rowsPerBand
-    val bandArr = array((0 until nBands).map { b =>
-      struct(lit(b).as("idx"),
-        struct((0 until rowsPerBand).map(r =>
-          col(s"m${b * rowsPerBand + r}").as(s"s$r")): _*).as("sig"))
-    }: _*)
     val buckets = observeCap(sig
-      .select(col(keyCol).as("id"), explode(bandArr).as("bd"))
+      .select(col(keyCol).as("id"), explode(bandStructs(k, rowsPerBand)).as("bd"))
       .groupBy(col("bd.idx").as("band_idx"), col("bd.sig").as("band"))
       .agg(collect_list(col("id")).as("ids")),
       "minhash", size(col("ids")), maxBucket)
       .where(size(col("ids")).between(2, maxBucket))
     explodePairs(buckets, "ids")
       .select(col("l").as("a"), col("r").as("b"))
+      .distinct()
+  }
+
+  /** Materialize the minhash band index of an EXISTING corpus — the
+    * one-time indexing job behind incremental (daily-ingest) dedup, the
+    * compile-once/run-many duality applied to data: the corpus-side
+    * shingle+md5 work (the dominant cost) runs ONCE here, and every
+    * subsequent increment probes the stored band rows instead of
+    * re-scanning corpus text. Rows (id, band_idx, band) are written
+    * PARTITIONED BY `_pb = xxhash64(band) mod nPartBuckets`, so a probe
+    * touching `p` distinct band hashes reads `≤ min(p, nPartBuckets)`
+    * directories via storage-level partition pruning (the
+    * [[Similarity.ivfWriteIndex]] pattern applied to minhash bands).
+    */
+  def minhashWriteIndex(df: DataFrame, keyCol: String, textCol: String,
+      path: String, k: Int = 8, rowsPerBand: Int = 2,
+      nPartBuckets: Int = 256): Unit =
+    bandRows(minhashSignature(df, keyCol, textCol, k), keyCol, k, rowsPerBand,
+      nPartBuckets)
+      .write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+  /** Incremental dedup: candidate pairs of a NEW batch against the
+    * existing corpus (via its [[minhashWriteIndex]]) AND within the
+    * batch itself — exactly the full-corpus [[minhashCandidatePairs]]
+    * restricted to pairs with at least one new endpoint (same banding,
+    * same bucket-cap semantics over the full old∪new bucket; asserted
+    * by an OpsSpec differential and the `dedup_incremental` oracle).
+    *
+    * Scale shape: one scan of the BATCH text (signatures), a
+    * partition-pruned index read (`_pb IN (batch's band hashes)` — a
+    * driver-side list bounded by nPartBuckets), a broadcast LEFT SEMI of
+    * the index rows against the batch's distinct bands (the increment is
+    * small by daily-ingest contract — for corpus-sized "increments" run
+    * the batch operator instead), then the same band-keyed bucket
+    * shuffle as the one-shot op, over matching rows only. Corpus text is
+    * never re-read, corpus signatures never recomputed.
+    */
+  def minhashIncrementalPairs(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
+      k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int = 2000,
+      nPartBuckets: Int = 256): DataFrame = {
+    val newRows = bandRows(minhashSignature(newBatch, keyCol, textCol, k),
+      keyCol, k, rowsPerBand, nPartBuckets)
+    val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
+    val newBands = newRows.select(col("band_idx"), col("band")).distinct()
+    val oldMatched = spark.read.parquet(indexPath)
+      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
+      .join(broadcast(newBands), Seq("band_idx", "band"), "left_semi")
+      .select(col("id"), col("band_idx"), col("band"), lit(false).as("is_new"))
+    val buckets = observeCap(
+      newRows.select(col("id"), col("band_idx"), col("band"), lit(true).as("is_new"))
+        .union(oldMatched)
+        .groupBy(col("band_idx"), col("band"))
+        .agg(collect_list(struct(col("id"), col("is_new"))).as("docs")),
+      "minhash_incr", size(col("docs")), maxBucket)
+      .where(size(col("docs")).between(2, maxBucket))
+    explodePairs(buckets, "docs")
+      .where((col("l.is_new") || col("r.is_new")) && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
       .distinct()
   }
 

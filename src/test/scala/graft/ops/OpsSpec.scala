@@ -584,6 +584,36 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(3L) == ((1L, 0.0)))
   }
 
+  test("incremental dedup ≡ full-corpus LSH pairs restricted to new endpoints") {
+    val all = Seq(
+      (0L, "the cat sat on the mat and looked at the dog"),
+      (1L, "the cat sat on the mat and looked at the dog"),   // old-old dup
+      (7L, "the cat sat on the mat and looked at the dog"),   // new dup of 0,1
+      (3L, "a completely different document about spark queries"),
+      (17L, "a completely different document about spark queries"), // new dup of 3
+      (27L, "one more text that matches nothing else at all"),      // new singleton
+      (2L, "the cat sat on the mat and looked at the bird")
+    ).toDF("doc_id", "text")
+    val newB = all.where(col("doc_id") % 10 === 7)
+    val oldB = all.where(col("doc_id") % 10 =!= 7)
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Dedup.minhashWriteIndex(oldB, "doc_id", "text", path)
+    val inc = Dedup.minhashIncrementalPairs(spark, path, newB, "doc_id", "text")
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashCandidatePairs(
+        Dedup.minhashSignature(all, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter(p => p._1 % 10 == 7 || p._2 % 10 == 7)
+    assert(got == want)
+    assert(want.nonEmpty, "test corpus must produce new-touching pairs")
+    assert(full.exists(p => p._1 % 10 != 7 && p._2 % 10 != 7),
+      "test corpus must have old-only pairs the incremental op excludes")
+    // the probe is index-shaped: batch bands broadcast into a LEFT SEMI
+    // against the stored band rows — no corpus text on the plan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
   test("repetitionFeatures: null text nulls out (no misleading n_grams=1)") {
     val rows = Seq((0L, "a b c d e"), (1L, null)).toDF("doc_id", "text")
     val got = TextOps.repetitionFeatures(rows, "doc_id", "text").collect()
