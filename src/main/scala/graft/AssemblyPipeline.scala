@@ -1,0 +1,180 @@
+package graft
+
+import graft.engine.ValidationEngine
+import graft.ops.{Dedup, Pipeline, TextOps}
+import graft.spec.SchemaParser
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The integration shape a corpus user actually runs — one end-to-end
+  * assembly pass: validate → exact dedup → near-dup pairs → clusters →
+  * canonical selection → decontaminate → stratified sample → pack.
+  * Every stage records its row count, and the cross-stage invariants
+  * (partitions of the input, keep+drop conservation, cluster coverage)
+  * are ASSERTED, not just printed — a pipeline that silently loses or
+  * duplicates docs between stages is wrong even when each operator is
+  * individually correct.
+  *
+  * `run` is the library-shaped composition (used by PipelineSpec
+  * end-to-end at small scale); `main` drives it over the deterministic
+  * 1M-doc SoakBench corpus and prints one JSON line per stage.
+  */
+object AssemblyPipeline {
+
+  final case class StageCounts(
+      nInput: Long, nValid: Long,
+      nExactDropped: Long, nAfterExact: Long,
+      nPairs: Long, nLabeled: Long, nCanonical: Long, nAfterNear: Long,
+      nBench: Long, nContaminated: Long, nAfterDecon: Long,
+      nSampled: Long, nPacked: Long, nBins: Long)
+
+  private val specJson =
+    """{
+      "type": "object",
+      "properties": {
+        "doc_id": {"type": "string", "required": true, "pattern": "^d[0-9]+$"},
+        "text":   {"type": "string", "required": true, "minLength": 1},
+        "source": {"type": "string", "required": true}
+      }
+    }"""
+  private lazy val spec = SchemaParser.parse(specJson)
+
+  /** Materialize a stage boundary. Each assembly stage's plan embeds the
+    * previous stage on BOTH sides of a join (survivor semi/anti joins), so
+    * composing seven stages lazily grows the logical plan multiplicatively
+    * — Catalyst analysis alone becomes the bottleneck long before any task
+    * runs. A production run writes parquet between stages;
+    * `localCheckpoint` is the in-memory analog: compute once, truncate
+    * lineage, later stages plan against a leaf.
+    */
+  private def stage(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  /** One assembly pass over `docs` (doc_id, text, source). `benchPred`
+    * marks the held-out eval slice used for decontamination;
+    * `contaminationThreshold` drops corpus docs whose shingle overlap
+    * fraction with the eval slice reaches it.
+    */
+  def run(spark: SparkSession, docs: DataFrame,
+      benchPred: org.apache.spark.sql.Column,
+      contaminationThreshold: Double = 0.5,
+      sampleRates: Map[String, Double] = Map("src0" -> 0.5),
+      defaultRate: Double = 0.25,
+      packBudget: Long = 2048L): StageCounts = {
+    val nInput = docs.count()
+
+    // 1) validate; only passing rows continue (violations go to the
+    //    checkpointed violations sink in the production run — here the
+    //    count is the invariant)
+    val annotated = ValidationEngine.annotate(docs, spec)
+    val valid = stage(annotated.where(col(ValidationEngine.PassCol))
+      .select(docs.columns.map(col): _*))
+    val nValid = valid.count()
+
+    // 2) exact dedup: remove every non-survivor of an exact group
+    val dropList = Dedup.exactDuplicates(valid, "doc_id", "text")
+      .select(col("doc_id"))
+    val nExactDropped = dropList.count()
+    val afterExact = stage(valid.join(dropList, Seq("doc_id"), "left_anti"))
+    val nAfterExact = afterExact.count()
+    require(nAfterExact == nValid - nExactDropped,
+      s"exact dedup must conserve rows: $nValid - $nExactDropped != $nAfterExact")
+
+    // 3) near-dup: LSH pairs → connected components → canonical per
+    //    cluster (quality argmax); keep canonical docs only
+    val pairs = stage(Dedup.minhashCandidatePairs(
+      Dedup.minhashSignature(afterExact, "doc_id", "text"), "doc_id"))
+    val nPairs = pairs.count()
+    val labels = Dedup.connectedComponents(pairs, "a", "b")
+    val nLabeled = labels.count()
+    val scored = TextOps.qualityFeatures(afterExact, "text")
+      .select(col("doc_id"), col("quality"))
+    val canonical = stage(
+      Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels))
+    val nCanonical = canonical.count()
+    require(canonical.agg(sum("n_docs")).collect()(0).getLong(0) == nAfterExact,
+      "every post-exact doc must be counted in exactly one cluster")
+    val afterNear = stage(afterExact.join(
+      canonical.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi"))
+    val nAfterNear = afterNear.count()
+    require(nAfterNear == nCanonical,
+      s"one survivor per cluster: $nAfterNear != $nCanonical")
+
+    // 4) decontamination: the held-out eval slice leaves the corpus, and
+    //    corpus docs sharing >= threshold of their shingles with it drop
+    val bench = afterNear.where(benchPred)
+    val nBench = bench.count()
+    val corpus = afterNear.where(!benchPred)
+    val contaminated = Dedup.contaminationScores(
+        corpus, "doc_id", "text", bench, "text")
+      .where(col("contamination") >= contaminationThreshold)
+      .select(col("id").as("doc_id"))
+    val nContaminated = contaminated.count()
+    val afterDecon = stage(corpus.join(contaminated, Seq("doc_id"), "left_anti"))
+    val nAfterDecon = afterDecon.count()
+    require(nAfterDecon == nAfterNear - nBench - nContaminated,
+      "decon must conserve rows: corpus minus eval slice minus contaminated")
+
+    // 5) deterministic stratified sample
+    val sampled = Pipeline.stratifiedSample(afterDecon, "doc_id", "source",
+      sampleRates, defaultRate)
+    val nSampled = sampled.count()
+
+    // 6) sequence packing over the sample
+    val withTok = sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
+    val packed = Pipeline.packSequences(withTok, "doc_id", "n_tok", "source",
+      budget = packBudget, nShards = 8)
+    val nPacked = packed.count()
+    require(nPacked == nSampled, "packing assigns every sampled doc to a bin")
+    val nBins = packed.select("source", "shard", "bin_id").distinct().count()
+
+    StageCounts(nInput, nValid, nExactDropped, nAfterExact,
+      nPairs, nLabeled, nCanonical, nAfterNear,
+      nBench, nContaminated, nAfterDecon, nSampled, nPacked, nBins)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_ASSEMBLY_ROWS", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-assembly")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic corpus with arithmetic dup lanes (SoakBench) plus a
+    // 10-stratum source column; realistic pool (unique random shingles)
+    val data = s"/tmp/graft_assembly_corpus_$rows"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(data)))
+      SoakBench.corpus(spark, rows, poolSize = 65521)
+        .withColumn("source",
+          concat(lit("src"),
+            pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+        .write.mode("overwrite").parquet(data)
+    val docs = spark.read.parquet(data)
+
+    val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+    val t0 = System.nanoTime()
+    val c = run(spark, docs, benchPred = idNum === 5)
+    val sec = (System.nanoTime() - t0) / 1e9
+
+    // arithmetic expectations of the generator (loose bands — the exact
+    // interplay of the dup lanes is what the per-op soaks pin down)
+    require(c.nValid == c.nInput, "generator emits only valid docs")
+    require(c.nExactDropped >= rows / 16 - rows / 1000 &&
+      c.nExactDropped <= rows / 16 + rows / 10007 + rows / 1000,
+      s"exact-dup lane is ~rows/16: ${c.nExactDropped}")
+    require(c.nPairs >= rows / 16 - rows / 500, s"near-dup lane is ~rows/16: ${c.nPairs}")
+    println(f"""{"metric":"assembly_total","value":$sec%.1f,"unit":"sec","rows":$rows,"cpus":$cpus}""")
+    println(s"""{"stage":"validate","in":${c.nInput},"valid":${c.nValid}}""")
+    println(s"""{"stage":"exact_dedup","dropped":${c.nExactDropped},"kept":${c.nAfterExact}}""")
+    println(s"""{"stage":"near_dedup","pairs":${c.nPairs},"labeled":${c.nLabeled},"clusters+singletons":${c.nCanonical},"kept":${c.nAfterNear}}""")
+    println(s"""{"stage":"decontaminate","eval_slice":${c.nBench},"contaminated":${c.nContaminated},"kept":${c.nAfterDecon}}""")
+    println(s"""{"stage":"sample","kept":${c.nSampled}}""")
+    println(s"""{"stage":"pack","docs":${c.nPacked},"bins":${c.nBins}}""")
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Pipeline, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.lang.management.ManagementFactory
@@ -144,6 +144,31 @@ object SoakBench {
     run("simhash_groups") {
       Dedup.simhashDf(docs, "doc_id", "text")
         .groupBy("simhash").count().where(col("count") > 1).count()
+    }
+    run("simhash_pairs") {
+      // banded-hamming near-dup pairs; the boilerplate lane (~rows/10007
+      // identical docs → one identical simhash in every band) is the
+      // hot-bucket case the maxBucket cap must absorb, same as LSH
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text").count()
+    }
+    run("canonical_selection") {
+      // full near-dup resolution: pairs → components → quality argmax
+      // per cluster. out_rows = clusters + singletons = post-dedup corpus
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text")
+      val pairs = Dedup.minhashCandidatePairs(sig, "doc_id")
+      val labels = Dedup.connectedComponents(pairs, "a", "b")
+      val scored = TextOps.qualityFeatures(docs, "text")
+        .select(col("doc_id"), col("quality"))
+      Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels).count()
+    }
+    run("seq_pack") {
+      // cumsum-bin packing: one window shuffle keyed (stratum, shard);
+      // sharding bounds the skewed-stratum partition sort
+      val strata = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))
+      Pipeline.packSequences(
+        docs.withColumn("n_tok", TextOps.tokenCount(col("text")))
+          .withColumn("stratum", strata),
+        "doc_id", "n_tok", "stratum", budget = 2048L).count()
     }
     run("cluster_resolution") {
       // pairs → connected components at corpus scale: exercises the

@@ -103,6 +103,41 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  // === end-to-end corpus assembly (validate → dedup → clusters →
+  //     canonical → decontaminate → sample → pack) ===
+
+  test("assembly pipeline end-to-end: stage invariants hold on the dup-lane corpus") {
+    val rows = 20000L
+    val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
+      .withColumn("source",
+        concat(lit("src"),
+          pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+    val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+    val c = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5)
+
+    // partitions and conservation (the hard invariants are require()d
+    // inside run; re-assert the load-bearing ones here)
+    assert(c.nInput == rows && c.nValid == rows)
+    assert(c.nAfterExact == c.nValid - c.nExactDropped)
+    assert(c.nAfterNear == c.nCanonical)
+    assert(c.nAfterDecon == c.nAfterNear - c.nBench - c.nContaminated)
+    assert(c.nPacked == c.nSampled)
+    // generator arithmetic: exact-dup lane ~rows/16, near-dup lane
+    // ~rows/16 (each pair collapses to one survivor)
+    assert(math.abs(c.nExactDropped - rows / 16) <= rows / 100,
+      s"exact dropped ${c.nExactDropped}")
+    assert(c.nPairs >= rows / 16 - rows / 100, s"pairs ${c.nPairs}")
+    // monotone shrinkage through the funnel
+    assert(c.nAfterExact >= c.nAfterNear && c.nAfterNear >= c.nAfterDecon &&
+      c.nAfterDecon >= c.nSampled)
+    // sample rate band: strata are ~uniform, one of ten at 0.5, rest 0.25
+    val expect = c.nAfterDecon * (0.5 + 9 * 0.25) / 10
+    assert(math.abs(c.nSampled - expect) < c.nAfterDecon * 0.05,
+      s"sampled ${c.nSampled} vs expected ~$expect")
+    // packing bins: each bin holds ~budget tokens (24-word docs)
+    assert(c.nBins > 0 && c.nBins < c.nPacked)
+  }
+
   // === packSequences ===
 
   private lazy val seqs = spark.range(300)
