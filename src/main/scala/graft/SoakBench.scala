@@ -163,12 +163,16 @@ object SoakBench {
     }
     run("seq_pack") {
       // cumsum-bin packing: one window shuffle keyed (stratum, shard);
-      // sharding bounds the skewed-stratum partition sort
+      // sharding bounds the skewed-stratum partition sort. The action
+      // must consume bin_id — a bare count() lets Catalyst prune the
+      // Window operator and time only the scan. out_rows = bins.
       val strata = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))
       Pipeline.packSequences(
-        docs.withColumn("n_tok", TextOps.tokenCount(col("text")))
-          .withColumn("stratum", strata),
-        "doc_id", "n_tok", "stratum", budget = 2048L).count()
+          docs.withColumn("n_tok", TextOps.tokenCount(col("text")))
+            .withColumn("stratum", strata),
+          "doc_id", "n_tok", "stratum", budget = 2048L)
+        .select(col("stratum"), col("shard"), col("bin_id"))
+        .distinct().count()
     }
     run("cluster_resolution") {
       // pairs → connected components at corpus scale: exercises the
