@@ -622,6 +622,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
     }),
 
+    "ann_pq_refined" -> ((s, dir) => {
+      // two-phase production PQ: quantized scan over-fetches a 4k
+      // shortlist by ADC, then ONLY those candidates' raw vectors are
+      // re-scored by exact cosine (the FAISS-style refine stage —
+      // |Q|·4k gathers, independent of corpus size)
+      val emb = read(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, "vec_id", "embedding", every = 61L)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopKRefined(emb, "vec_id", "embedding", q, "qid", "qvec", 3,
+          cb, nSub = 8, refine = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
     "ann_ivfpq_topk" -> ((s, dir) => {
       // IVF + PQ composed (the production shape): cells prune which
       // vectors are scanned (nprobe=2 of 9 cells), codes shrink what
@@ -1244,6 +1258,41 @@ object SparkEntry {
                          ORDER BY s DESC, nid ASC) AS rank FROM sc)
            SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
            FROM rk WHERE rank <= 3""",
+
+      // the ann_pq CTEs fetch a 12-candidate ADC shortlist; the refine
+      // stage re-ranks ONLY those by exact cosine over the raw vectors
+      "ann_pq_refined" ->
+        """WITH cw AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                              embedding::DOUBLE[] AS cv
+                       FROM embeddings WHERE vec_id % 61 = 0),
+                e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                d AS (SELECT e.vec_id, t.s, cw.cid,
+                             list_sum(list_transform(generate_series(1, 8),
+                               j -> (v[t.s*8+j] - cv[t.s*8+j]) * (v[t.s*8+j] - cv[t.s*8+j]))) AS dist
+                      FROM e, generate_series(0, 7) AS t(s), cw),
+                code AS (SELECT vec_id, s, cid FROM (
+                      SELECT vec_id, s, cid,
+                             row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY dist ASC, cid ASC) AS rn FROM d) WHERE rn = 1),
+                recon AS (SELECT c.vec_id,
+                                 flatten(list(cw.cv[c.s*8+1 : c.s*8+8] ORDER BY c.s)) AS rv
+                          FROM code c JOIN cw ON cw.cid = c.cid
+                          GROUP BY c.vec_id),
+                q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                sc AS (SELECT q.qid, r.vec_id AS nid, list_inner_product(q.qv, r.rv) AS s
+                       FROM q, recon r WHERE r.vec_id <> q.qid),
+                rk AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY s DESC, nid ASC) AS rank FROM sc),
+                short AS (SELECT qid, nid FROM rk WHERE rank <= 12),
+                ex AS (SELECT sh.qid, sh.nid,
+                              list_cosine_similarity(q.qv, e.v) AS cos
+                       FROM short sh JOIN q ON q.qid = sh.qid
+                                     JOIN e ON e.vec_id = sh.nid),
+                rr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, nid ASC) AS rank FROM ex)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM rr WHERE rank <= 3""",
 
       // IVF cells/probes (cosine, ties to lowest cid — the ann_ivf rule)
       // composed with the PQ encode/reconstruct CTEs (the ann_pq rule)

@@ -281,6 +281,54 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cellCounts.map(_.getLong(0)).toSet.subsetOf(cents.map(_._1).toSet))
   }
 
+  test("refineTopK: shortlist covering the corpus ≡ brute force; refine recovers PQ's tied-code order") {
+    // 4 tight clusters of 12 vectors: heavy PQ quantization maps each
+    // cluster to ONE code word, so raw ADC scores tie within a cluster
+    // and the quantized top-k order is arbitrary — the case refine exists for
+    val dim = 8
+    val vecs = (0 until 48).map { i =>
+      val c = i % 4
+      val v = Array.tabulate(dim)(d =>
+        (math.sin(c * 5 + d) + 0.02 * math.sin(i * 13 + d)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding").repartition(5)
+    val q = vecs.where(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // codebook = one sampled vector per cluster (every 13th: ids 0,13,26,39
+    // hit clusters 0,1,2,3) → all cluster members share that code word
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", every = 13L)
+    assert(cb.length == 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val brute = rows(Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 5))
+
+    // refine over a shortlist that covers the whole corpus is exact
+    val full = rows(Similarity.pqTopKRefined(vecs, "vec_id", "embedding",
+      q, "qid", "qvec", 5, cb, nSub = 2, refine = 10))
+    assert(full == brute)
+
+    // raw quantized top-5 misses true neighbors (within-cluster ties);
+    // a modest refine recovers them: true top-5 are same-cluster members,
+    // the 12-member cluster fits the 5*4=20 shortlist
+    def hits(df: org.apache.spark.sql.DataFrame): Int = {
+      val t = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      df.select("query_id", "neighbor_id").collect()
+        .count(r => t(r.getLong(0)).contains(r.getLong(1)))
+    }
+    val raw = hits(Similarity.pqTopK(vecs, "vec_id", "embedding", q, "qid", "qvec", 5, cb, nSub = 2))
+    val refined = hits(Similarity.pqTopKRefined(vecs, "vec_id", "embedding",
+      q, "qid", "qvec", 5, cb, nSub = 2, refine = 4))
+    assert(refined == 20, s"refined recall must be total, got $refined/20")
+    assert(raw <= refined)
+
+    // IVF+PQ composed with refine: same exactness within the probed cells
+    val cents = Similarity.corpusCentroids(vecs, "vec_id", "embedding", every = 13L)
+    val ivfRef = rows(Similarity.ivfPqTopKRefined(vecs, "vec_id", "embedding",
+      q, "qid", "qvec", 5, cents, nprobe = cents.length, cb, nSub = 2, refine = 10))
+    assert(ivfRef == brute)
+  }
+
   test("lshTopK agrees with brute force for same-bucket neighbors") {
     val planes = Similarity.hyperplanes(6, 2)
     val vecs = (0 until 40).map(i =>
