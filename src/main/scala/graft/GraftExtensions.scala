@@ -95,6 +95,17 @@ object GraftFunctions {
           require(args.length == 1, "word_stats(text STRING)")
           graft.ops.WordStats(args(0), graft.ops.TextOps.Stopwords,
             graft.ops.TextOps.LangMarkers.map(_._2), graft.ops.TextOps.HashPrime)
+        }),
+      (
+        new FunctionIdentifier("token_stats"),
+        new ExpressionInfo(classOf[graft.ops.TokenStats].getName, "token_stats"),
+        (args: Seq[Expression]) => {
+          require(args.length >= 1 && args.length <= 3,
+            "token_stats(tokens ARRAY<INT> [, n INT [, vocab INT]])")
+          val n = if (args.length >= 2) intArg(args(1), "n") else 3
+          val vocab = if (args.length >= 3) intArg(args(2), "vocab")
+            else graft.gen.SequenceGen.Vocab
+          graft.ops.TokenStats(args(0), n, vocab)
         }))
 
   /** Install into a live session (same registrations as the extension),

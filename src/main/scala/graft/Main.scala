@@ -73,10 +73,32 @@ object Main {
       spark.stop()
       return
     }
+    // infer: profile the input and print a SUGGESTED draft-3 spec (the
+    // observed invariants: presence, type, bounds, low-cardinality enums
+    // — engine.SpecInfer). The loop a new table onboards through:
+    // `infer > spec.json`, hand-edit, `validate ... spec.json`.
+    if (args.length >= 2 && args(0) == "infer") {
+      val spark = SparkSession.builder()
+        .appName("graft-infer")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val df =
+        if (args(1).startsWith("gen:")) SequenceGen.generate(spark, args(1).drop(4).toLong)
+        else spark.read.parquet(args(1))
+      val enumMax = args.lift(2).flatMap(a => scala.util.Try(a.toInt).toOption)
+        .getOrElse(SpecInfer.DefaultEnumMax)
+      println(graft.spec.SchemaRender.pretty(SpecInfer.infer(df, enumMax)))
+      spark.stop()
+      return
+    }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
         "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--dialect posix|java]\n" +
-        "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]")
+        "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
+        "       graft.Main infer <inputParquetDir|gen:N> [enumMax]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))

@@ -566,6 +566,29 @@ object SparkEntry {
         read(s, dir, "documents").where(col("text").isNotNull),
         "doc_id", "text")),
 
+    // === pre-tokenized sequence ops (the primary input shape): tokens
+    // derived deterministically from text via the portable hash so the
+    // oracle reproduces them bit-for-bit ===
+    "seq_repetition" -> ((s, dir) =>
+      SeqOps.repetition(
+        read(s, dir, "documents").where(col("text").isNotNull)
+          .select(col("doc_id"), SeqOps.tokenize(col("text"), 49152).as("toks")),
+        "doc_id", "toks")),
+
+    "seq_oov" -> ((s, dir) =>
+      // tokenize into [0, 49152) then check against a vocab of 4096:
+      // ids >= 4096 are the out-of-vocabulary lane (deterministic,
+      // nonzero rate — the tokenizer/vocab-mismatch ingest gate)
+      SeqOps.oovStats(
+        read(s, dir, "documents").where(col("text").isNotNull)
+          .select(col("source"), SeqOps.tokenize(col("text"), 49152).as("toks")),
+        "source", "toks", vocab = 4096)),
+
+    // constraint suggestion: the observed-invariant evidence rows
+    // (engine.SpecInfer — the infer half of the infer→validate loop)
+    "val_infer_rows" -> ((s, dir) =>
+      SpecInfer.inferRows(read(s, dir, "documents"), enumMax = 16)),
+
     // benchmark decontamination: corpus docs sharing 3-grams with a
     // deterministic "eval set" slice (doc_id % 17 = 3); benchmark side
     // collapses to its distinct shingle set and broadcasts
@@ -1162,6 +1185,60 @@ object SparkEntry {
             SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
                    round(1.0 - nd / CAST(n_grams AS DOUBLE), 6) AS dup_ratio
             FROM r""",
+
+      // token arrays derived via the portable hash (one md5 per word,
+      // same as the engine's SeqOps.tokenize), then the token-3-gram
+      // distinct count — the token-space txt_repetition
+      "seq_repetition" ->
+        s"""WITH t AS (SELECT doc_id,
+                         list_transform($wordsSql, w -> CAST(${hFullSql("w")} % 49152 AS INT)) AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 1 END AS n_grams,
+                    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> CAST(toks[i] AS VARCHAR) || ',' || CAST(toks[i+1] AS VARCHAR)
+                                || ',' || CAST(toks[i+2] AS VARCHAR))))
+                         ELSE 1 END AS nd
+                  FROM t)
+            SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   round(1.0 - nd / CAST(n_grams AS DOUBLE), 6) AS dup_ratio
+            FROM r""",
+
+      "seq_oov" ->
+        s"""WITH t AS (SELECT source,
+                         list_transform($wordsSql, w -> CAST(${hFullSql("w")} % 49152 AS INT)) AS toks
+                       FROM documents WHERE text IS NOT NULL)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                   CAST(sum(len(list_filter(toks, t -> t < 0 OR t >= 4096))) AS BIGINT) AS n_oov,
+                   round(sum(len(list_filter(toks, t -> t < 0 OR t >= 4096)))
+                         / CAST(sum(len(toks)) AS DOUBLE), 6) AS oov_rate
+            FROM t GROUP BY source""",
+
+      // one row of observed-invariant evidence per documents column
+      // (engine.SpecInfer.inferRows): presence, bounds, exact distinct,
+      // and the sorted enum csv for low-cardinality strings
+      "val_infer_rows" -> {
+        def statRow(c: String, isStr: Boolean): String = {
+          val enumSql =
+            if (isStr)
+              s"CASE WHEN count(DISTINCT $c) <= 16 THEN " +
+                s"array_to_string(list_sort(list_distinct(list($c))), ',') END"
+            else "CAST(NULL AS VARCHAR)"
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+                     CAST(count(*) - count($c) AS BIGINT) AS n_null,
+                     (count(*) = count($c)) AS required,
+                     CAST(min($c) AS VARCHAR) AS min_s,
+                     CAST(max($c) AS VARCHAR) AS max_s,
+                     count(DISTINCT $c) AS n_distinct,
+                     $enumSql AS enum_vals
+              FROM documents"""
+        }
+        Seq(statRow("doc_id", isStr = false), statRow("text", isStr = true),
+          statRow("lang", isStr = true), statRow("source", isStr = true),
+          statRow("n_chars", isStr = false)).mkString(" UNION ALL ")
+      },
 
       "decon_overlap" ->
         s"""WITH t AS (SELECT doc_id, text, $wordsSql AS w FROM documents),

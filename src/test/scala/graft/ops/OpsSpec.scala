@@ -3,6 +3,7 @@ package graft.ops
 import graft.SparkSessionTestWrapper
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
@@ -342,6 +343,62 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .collect().map(_.getLong(1)).toSet
     // tight cluster of directions → all in one bucket → identical top-k
     assert(lsh == brute)
+  }
+
+  test("TokenStats kernel ≡ declarative HOF oracle; repetition/oov ops over token arrays") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(IntegerType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(0L, Seq(1, 2, 3, 1, 2, 3, 1, 2)),          // repeated 3-grams
+      Row(1L, Seq(5, 5, 5, 5, 5)),                   // one distinct gram
+      Row(2L, Seq(7, 8)),                            // shorter than n
+      Row(3L, Seq.empty[Int]),                       // empty
+      Row(4L, null),                                 // null array
+      Row(5L, Seq(1, null, 3, 4, 1, null, 3)),       // null elements
+      Row(6L, Seq(-5, 99999999, 42)),                // out of 21-bit pack range + oov
+      Row(7L, (0 until 40).map(i => i % 7)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row), 3), schema)
+
+    for (n <- Seq(2, 3); vocab <- Seq(100, 49152)) {
+      val got = df.select(col("id"), SeqOps.tokenStats(col("toks"), n, vocab).as("s"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      val want = df.select(col("id"), SeqOps.tokenStatsRef(col("toks"), n, vocab).as("s"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+      assert(got == want, s"n=$n vocab=$vocab")
+    }
+    // spot-check semantics: doc 0 has 6 gram positions, 3 distinct
+    val s0 = df.where(col("id") === 0)
+      .select(SeqOps.tokenStats(col("toks"), 3, 100)).collect()(0).getSeq[Long](0)
+    assert(s0 == Seq(8L, 6L, 3L, 0L))
+    // null array → null stats
+    assert(df.where(col("id") === 4)
+      .select(SeqOps.tokenStats(col("toks"))).collect()(0).isNullAt(0))
+
+    val rep = SeqOps.repetition(df.where(col("toks").isNotNull), "id", "toks")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rep(0L) == (6L, 0.5))   // 3 distinct of 6 positions
+    assert(rep(1L) == (3L, 0.666667)) // 1 distinct of 3 positions, round 6
+    assert(rep(2L) == (1L, 0.0))
+
+    val oov = SeqOps.oovStats(df.where(col("toks").isNotNull), "id", "toks", vocab = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val d6 = oov.find(_._1 == 6L).get
+    assert(d6 == (6L, 1L, 3L, 2L)) // -5 and 99999999 are oov, 42 is not
+    val d5 = oov.find(_._1 == 5L).get
+    assert(d5._4 == 2L) // null elements count as oov
+
+    // SQL registration parity
+    graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tokstats_t")
+    val sqlForm = spark.sql(
+      "SELECT id, token_stats(toks, 3, 100) AS s FROM tokstats_t WHERE toks IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val scalaForm = df.where(col("toks").isNotNull)
+      .select(col("id"), SeqOps.tokenStats(col("toks"), 3, 100).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlForm == scalaForm)
   }
 
   test("multimodal stub decode is deterministic and batch-shaped") {
