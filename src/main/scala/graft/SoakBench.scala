@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Pipeline, TextOps}
+import graft.ops.{Dedup, Pipeline, SeqOps, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.lang.management.ManagementFactory
@@ -181,6 +181,29 @@ object SoakBench {
       val sig = Dedup.minhashSignature(docs, "doc_id", "text")
       val pairs = Dedup.minhashCandidatePairs(sig, "doc_id")
       Dedup.connectedComponents(pairs, "a", "b").count()
+    }
+    run("token_stats") {
+      // fused TokenStats kernel over the PRIMARY pre-tokenized shape
+      // (SequenceGen in place — no I/O, isolates the kernel). The timed
+      // action must CONSUME the aggregated values — count() over the
+      // groupBy lets ColumnPruning drop the sum aggregates and times
+      // only source generation (measured: 1.2 s non-measurement vs the
+      // real pass). out_rows = total OOV tokens, which the injection
+      // arithmetic pins EXACTLY: the bad-token lane (id %% 1000 == 59)
+      // injects one out-of-range token per row → rows/1000.
+      val seqs = graft.gen.SequenceGen.generate(spark, rows)
+      SeqOps.oovStats(seqs, "source", "tokens")
+        .agg(sum(col("n_oov"))).collect()(0).getLong(0)
+    }
+    run("seq_repetition") {
+      // duplicate-token-3-gram ratio per sequence; the dup_ratio filter
+      // consumes the distinct-gram half of the kernel (~rows·E[n_tok]
+      // set inserts under the bounded heap). out_rows = sequences with
+      // non-null stats = rows exactly (arrays are never null here;
+      // empty arrays report the one whole-sequence gram, ratio 0).
+      val seqs = graft.gen.SequenceGen.generate(spark, rows)
+      SeqOps.repetition(seqs, "doc_id", "tokens")
+        .where(col("dup_ratio") >= 0).count()
     }
     run("decontamination") {
       // benchmark = an "eval set" sampled from the corpus distribution
