@@ -96,7 +96,7 @@ object Main {
     }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
-        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--dialect posix|java]\n" +
+        "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--emitValid] [--dialect posix|java]\n" +
         "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
         "       graft.Main infer <inputParquetDir|gen:N> [enumMax]")
       sys.exit(2)
@@ -123,6 +123,10 @@ object Main {
     val capViolations = args.sliding(2).collectFirst {
       case Array("--capViolations", n) => n.toInt
     }
+    // also write each unit's VALID rows (defaults applied, then
+    // validated — the reference parser's success output) to
+    // outDir/valid/part=<unit>
+    val emitValid = args.contains("--emitValid")
 
     val builder0 = SparkSession.builder().appName("graft-validate")
     // spark-submit provides the master; standalone runs fall back to local
@@ -161,7 +165,7 @@ object Main {
       println(s"[graft] resuming: ${done.size} partitions already committed: ${done.toSeq.sorted.mkString(",")}")
 
     val results = runner.run(df, spec, "doc_id", "source", maxParts, split,
-      concurrency, capViolations)
+      concurrency, capViolations, emitValid)
     results.foreach { r =>
       println(f"[graft] partition=${r.partition}%-12s rows=${r.nRows}%8d failed=${r.nFailed}%6d violations=${r.nViolations}%6d pass=${r.pass}")
     }

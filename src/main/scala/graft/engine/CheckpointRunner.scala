@@ -73,6 +73,17 @@ trait TableIO {
   def writeViolations(unitId: String, violations: DataFrame): Unit
   /** Commit point: mark the unit complete. MUST be the last write. */
   def commit(result: PartitionResult, committedAt: java.time.Instant): Unit
+  /** Durably write one unit's VALID rows (defaults-applied, passing) —
+    * the reference parser's SUCCESS output (its generated parsers return
+    * the typed value; verdicts/violations are the failure side). Same
+    * contract as [[writeViolations]]: idempotent overwrite, safe across
+    * units from concurrent threads. Only called when the runner's
+    * `emitValid` is set; the default keeps verdict-only implementations
+    * source-compatible.
+    */
+  def writeValid(unitId: String, rows: DataFrame): Unit =
+    throw new UnsupportedOperationException(
+      s"${getClass.getName} does not implement writeValid; run without emitValid")
 }
 
 /** Partitioned-Parquet + manifest-directory [[TableIO]]: the in-sandbox
@@ -118,6 +129,9 @@ final class ParquetManifestIO(spark: SparkSession, outDir: String) extends Table
   override def writeViolations(unitId: String, violations: DataFrame): Unit =
     violations.write.mode(SaveMode.Overwrite).parquet(s"$outDir/violations/part=$unitId")
 
+  override def writeValid(unitId: String, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Overwrite).parquet(s"$outDir/valid/part=$unitId")
+
   override def commit(res: PartitionResult, at: java.time.Instant): Unit = {
     import spark.implicits._
     Seq((res.partition, res.nRows, res.nFailed, res.nViolations, at.toString))
@@ -159,9 +173,22 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
     * executors saturated. Results return in deterministic unit order
     * regardless of completion order.
     */
+  /** `emitValid = true` additionally writes each unit's VALID rows —
+    * the reference's compiled-parser semantics end-to-end: defaults are
+    * substituted FIRST (CodeGen.hs:342-350; `ValidationEngine
+    * .applyDefaults`), then the defaulted rows are validated, so a row
+    * whose only defect a default repairs is VALID and lands in the
+    * clean output (and verdicts/violations/metrics are derived from the
+    * same defaulted rows — one coherent semantic, not two). Cost note
+    * at scale: the valid output is a SECOND action over the unit's
+    * slice (Spark writes one sink per job), so an emitValid unit scans
+    * its slice twice; production Iceberg would fan both out of one
+    * pass with a branched write.
+    */
   def run(df: DataFrame, spec: SchemaSpec, keyCol: String, partCol: String,
       limit: Option[Int] = None, split: SubSplit = SubSplit.None,
-      concurrency: Int = 1, capViolations: Option[Int] = None): Seq[PartitionResult] = {
+      concurrency: Int = 1, capViolations: Option[Int] = None,
+      emitValid: Boolean = false): Seq[PartitionResult] = {
     require(concurrency >= 1, "concurrency must be >= 1")
     // commit units are only comparable across runs under the SAME split:
     // resuming with a different granularity would leave the old
@@ -209,7 +236,11 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
         if (p == "__null__") df.where(col(partCol).isNull)
         else df.where(col(partCol) === p) // partition pruning when the
                                           // source layout is partitioned
-      val slice = pred.fold(partSlice)(partSlice.where)
+      val slice0 = pred.fold(partSlice)(partSlice.where)
+      // emitValid runs the WHOLE unit over the defaults-applied rows
+      // (parse-with-defaults then validate — the reference's order)
+      val slice =
+        if (emitValid) ValidationEngine.applyDefaults(slice0, spec) else slice0
       val ann = ValidationEngine.annotate(slice, spec)
       // One pass per unit: the per-unit metrics are observed on the SAME
       // job that writes the violations output (a CollectMetrics node over
@@ -233,6 +264,13 @@ final class CheckpointRunner(spark: SparkSession, io: TableIO) {
         ValidationEngine.violationsWith(annObs, Seq(keyCol)))(k =>
         ValidationEngine.violationsCappedWith(annObs, Seq(keyCol), k)))
       val m = obs.get // the write above was the action; its listener has the row
+      if (emitValid)
+        // a fresh annotate (not annObs): an Observation is one-shot, and
+        // this second action must not re-trigger it
+        io.writeValid(unitId,
+          ValidationEngine.annotate(slice, spec)
+            .where(col(ValidationEngine.PassCol))
+            .drop(ValidationEngine.PassCol, ValidationEngine.ViolationsCol))
       val res = PartitionResult(unitId, m("n_rows").asInstanceOf[Long],
         m("n_failed").asInstanceOf[Long], m("n_violations").asInstanceOf[Long])
 

@@ -52,6 +52,56 @@ class CheckpointRunnerSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert((first ++ second).map(_.nRows).sum == 5000L)
   }
 
+  test("emitValid writes the defaults-applied passing rows; defaults can repair a row into validity") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft_ckpt_valid").toString
+    // spec with a default: a null `a` is repaired to 5 (which passes the
+    // minimum), so the row is VALID in the emitValid semantics even
+    // though raw validation would fail it on required
+    val dSpec = SchemaParser.parse(
+      """{
+        "type": "object",
+        "properties": {
+          "k": {"type": "string", "required": true},
+          "a": {"type": "integer", "required": true, "default": 5, "minimum": 3},
+          "src": {"type": "string", "required": true}
+        }
+      }""")
+    val schema = StructType(Seq(
+      StructField("k", StringType, nullable = true),
+      StructField("a", LongType, nullable = true),
+      StructField("src", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("k1", 10L, "s0"),   // valid as-is
+        Row("k2", null, "s0"),  // valid ONLY via the default (5 >= 3)
+        Row("k3", 1L, "s0"),    // invalid: 1 < minimum 3 (no default applies)
+        Row("k4", 7L, "s1")), 2), schema)
+
+    val runner = new CheckpointRunner(spark, out)
+    val res = runner.run(df, dSpec, "k", "src", emitValid = true)
+    assert(res.map(_.nRows).sum == 4L)
+    assert(res.map(_.nFailed).sum == 1L, "only k3 fails once defaults apply")
+
+    val valid = spark.read.option("basePath", s"$out/valid").parquet(s"$out/valid")
+    val rows = valid.select("k", "a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("k1" -> 10L, "k2" -> 5L, "k4" -> 7L),
+      "k2 carries the APPLIED default; k3 is quarantined")
+    // the emitted frame carries the data columns only, no verdict columns
+    assert(valid.columns.sorted.toSeq == Seq("a", "k", "part", "src"))
+    // violations hold exactly the quarantined row
+    assert(violationSet(s"$out/valid_viol_never") == Set.empty)
+    val viol = spark.read.option("basePath", s"$out/violations")
+      .parquet(s"$out/violations").select("k").collect().map(_.getString(0)).toSet
+    assert(viol == Set("k3"))
+
+    // resume: a second run processes nothing and leaves outputs intact
+    assert(runner.run(df, dSpec, "k", "src", emitValid = true).isEmpty)
+    assert(spark.read.option("basePath", s"$out/valid").parquet(s"$out/valid").count() == 3L)
+  }
+
   test("legacy flat manifest layout is rejected with a clear message, not misread") {
     val out = Files.createTempDirectory("graft_ckpt_legacy").toString
     // simulate a pre-partitioned-layout outDir: manifest rows appended as
