@@ -140,23 +140,44 @@ object ValidationEngine {
 
   /** The failing-constraints array (un-gated — callers wrap it in a
     * valid-row guard; shared with [[SqlGen]]).
+    *
+    * Built as `concat(CASE WHEN ¬pass THEN [struct] ELSE [] END, …)` —
+    * one conditional singleton per constraint — NOT as
+    * `transform(filter(array(all), ¬pass), drop-pass-field)`: the
+    * higher-order form is eval-only, which dropped the whole violations
+    * projection (and, on the fast path, the Filter that
+    * InferFiltersFromGenerate derives from it) out of whole-stage
+    * codegen and boxed every struct. Concat/CaseWhen/CreateArray all
+    * codegen, branches evaluate lazily, and a null `pass` falls to the
+    * empty arm exactly as `filter` dropped it. Same output order
+    * (constraint declaration order) and schema.
     */
   def violationsArray(constraints: Seq[CompiledConstraint]): Column = {
-    val checks: Seq[Column] = constraints.map { k =>
-      struct(
-        lit(k.cid).as("constraint_id"),
-        k.pass.as("pass"),
-        when(!k.pass, k.offending.cast("string")).as("offending"))
+    val arms: Seq[Column] = constraints.map { k =>
+      when(!k.pass,
+        array(struct(
+          lit(k.cid).as("constraint_id"),
+          k.offending.cast("string").as("offending"))))
+        .otherwise(emptyViolations)
     }
-    transform(
-      filter(array(checks: _*), v => !v.getField("pass")),
-      v => struct(v.getField("constraint_id").as("constraint_id"),
-                  v.getField("offending").as("offending")))
+    concat(arms: _*)
   }
 
-  /** The typed empty violations array (shared with [[SqlGen]]). */
-  def emptyViolations: Column = typedlit(Array.empty[(String, String)])
-    .cast("array<struct<constraint_id:string,offending:string>>")
+  /** The typed empty violations array (shared with [[SqlGen]]). The
+    * LITERAL itself carries the named struct type — a `typedlit` of
+    * tuples under a rename cast leaks `_1`/`_2` into type-coercion and
+    * into SqlGen's rendered `CAST(ARRAY() AS …)` once the cast folds
+    * into the literal.
+    */
+  def emptyViolations: Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    val dt = ArrayType(StructType(Seq(
+      StructField("constraint_id", StringType),
+      StructField("offending", StringType))))
+    EU.column(org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array.empty[org.apache.spark.sql.Row], dt))
+  }
 
   def annotateWith(df: DataFrame, constraints: Seq[CompiledConstraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints compiled — empty spec?")
@@ -177,22 +198,72 @@ object ValidationEngine {
   def violations(df: DataFrame, spec: SchemaSpec, keyCols: Seq[String]): DataFrame =
     violationsWith(annotate(df, spec), keyCols)
 
-  /** True when the frame's plan carries expressions whose re-evaluation
-    * inside a pushed-down Filter would be a real per-row tax: parse
-    * expressions (`from_json`/`from_csv`/`from_xml` — the ones the
-    * engine itself introduces on the JsonlSource / parsed-map paths) and
-    * Scala UDFs (the `format:"regex"` check). Everything else the
-    * compiler emits is codegen'd comparisons/array ops, for which
-    * evaluate-in-filter-then-again-in-projection is the CHEAPER plan
-    * (failing rows are rare at scale).
+  /** True when the pre-filter fast path is safe: the conjunction that
+    * defines `valid` consists ONLY of provably cheap scalar nodes, so
+    * re-evaluating it inside a pushed-down Filter costs less than
+    * streaming every passing row through an outer Generate.
+    *
+    * This is a WHITELIST, deliberately: the first version of this
+    * strategy blacklisted parse expressions and UDFs and assumed
+    * everything else the compiler emits was cheap to re-evaluate — and
+    * the round-4 bench caught the counterexamples. Array traversals
+    * (`forall` item checks are eval-only HOFs that drop the whole
+    * pushed Filter out of codegen; even codegen'd `array_min`/
+    * `array_distinct` re-walk O(|array|) per evaluation — measured
+    * val_tuple_items 0.21 s outer → 1.00 s pre-filtered, 4.8×) and
+    * regex containment over document-sized strings (measured
+    * val_violations 0.20 → 0.43 s) both cost more to evaluate twice
+    * than the outer form's generate tax (~1.5× measured on the plain
+    * typed events spec, the case the fast path exists for). The
+    * asymmetry picks the default: a whitelist miss costs at most the
+    * 1.5× generate tax; a blacklist miss cost up to ~5×.
     */
-  private[engine] def hasExpensiveExprs(annotated: DataFrame): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions.{
-      CsvToStructs, JsonToStructs, ScalaUDF, XmlToStructs}
-    annotated.queryExecution.analyzed.exists(_.expressions.exists(_.exists {
-      case _: JsonToStructs | _: CsvToStructs | _: XmlToStructs | _: ScalaUDF => true
-      case _ => false
-    }))
+  private[engine] def prefilterIsCheap(annotated: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val validExpr = annotated.queryExecution.analyzed.collectFirst {
+      case p: Project if p.projectList.exists {
+            case a: Alias => a.name == PassCol; case _ => false } =>
+        p.projectList.collectFirst {
+          case a: Alias if a.name == PassCol => a.child }
+    }.flatten
+    def cheap(e: Expression): Boolean = (e match {
+      case _: Attribute | _: Literal => true
+      case _: And | _: Or | _: Not => true
+      case _: BinaryComparison => true                 // =, <=>, <, <=, >, >=
+      case _: In | _: InSet => true                    // enum membership
+      case _: IsNull | _: IsNotNull | _: Coalesce => true
+      case _: Cast | _: UpCast => true
+      case _: BinaryArithmetic => true                 // +, -, *, /, %, pmod
+      case _: UnaryMinus | _: Abs => true
+      case _: RoundBase | _: Floor | _: Ceil => true   // integer-ness checks
+      case _: CaseWhen | _: If => true                 // union/any dispatch
+      case _: Size | _: Length => true                 // O(1) header / length
+      case _: GetStructField => true                   // property access
+      case _: CreateNamedStruct => true                // the row-as-object
+                                                       // wrapper; collapsed by
+                                                       // SimplifyExtractValueOps
+      case _ => false                                  // HOFs, regex, array
+                                                       // walks, parses, UDFs,
+                                                       // custom kernels, …
+    }) && e.children.forall(cheap)
+    validExpr.exists(cheap)
+  }
+
+  /** Diagnostic: the `valid` alias expression and its first
+    * non-whitelisted node, for strategy-spec failures.
+    */
+  private[engine] def debugValidExpr(annotated: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val validExpr = annotated.queryExecution.analyzed.collectFirst {
+      case p: Project if p.projectList.exists {
+            case a: Alias => a.name == PassCol; case _ => false } =>
+        p.projectList.collectFirst {
+          case a: Alias if a.name == PassCol => a.child }
+    }.flatten
+    validExpr.fold("NO valid ALIAS FOUND")(e =>
+      s"valid = $e\nnode classes: ${e.collect { case x => x.getClass.getSimpleName }.distinct.mkString(", ")}")
   }
 
   /** Violations from an already-annotated frame (or any custom
@@ -200,7 +271,7 @@ object ValidationEngine {
     *
     * Two strategies, chosen from the plan itself:
     *
-    * FAST PATH (plain typed specs — the overwhelming case at scale):
+    * FAST PATH (cheap scalar conjunctions — [[prefilterIsCheap]]):
     * `where(!valid)` + plain `explode`. The pre-filter is pushed below
     * the annotate projection (PushPredicateThroughNonJoin substitutes
     * the alias with its defining conjunction), so passing rows — nearly
@@ -210,18 +281,19 @@ object ValidationEngine {
     * row through the generator as a v=NULL row (measured ~1.5× on the
     * plain typed events spec).
     *
-    * OUTER PATH (plans carrying parse expressions or UDFs): that same
-    * pushdown substitution would re-evaluate the EXPENSIVE aliases —
-    * every `from_json` — inside an interpreted Filter under the parse
-    * projection, doubling the dominant per-row cost (measured ~3× on the
-    * parsed-map enum spec). `explode_outer` blocks the filter inference
-    * (and gives InferFiltersFromGenerate nothing to add); passing rows
-    * carry an empty array and surface as one v=NULL row, dropped by the
-    * post-Generate filter, which sits on the generated attribute and
-    * therefore cannot be pushed down.
+    * OUTER PATH (everything else: parse expressions, UDFs, regex
+    * checks, array/map traversals — anything not provably cheap to
+    * evaluate twice): that same pushdown substitution would re-evaluate
+    * the expensive conjunction inside the Filter — and an eval-only HOF
+    * in it drops the whole Filter out of codegen (measured up to ~5× on
+    * tuple-items specs, ~3× on parsed-map enum specs). `explode_outer`
+    * blocks the filter inference (and gives InferFiltersFromGenerate
+    * nothing to add); passing rows carry an empty array and surface as
+    * one v=NULL row, dropped by the post-Generate filter, which sits on
+    * the generated attribute and therefore cannot be pushed down.
     */
   def violationsWith(annotated: DataFrame, keyCols: Seq[String]): DataFrame =
-    if (!hasExpensiveExprs(annotated))
+    if (prefilterIsCheap(annotated))
       annotated
         .where(!col(PassCol))
         .select(keyCols.map(col) :+ explode(col(ViolationsCol)).as("v"): _*)

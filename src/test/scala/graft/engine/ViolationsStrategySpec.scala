@@ -56,7 +56,7 @@ class ViolationsStrategySpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   test("plain typed spec takes the pre-filter + plain explode fast path") {
     val ann = ValidationEngine.annotate(plainDf, plainSpec)
-    assert(!ValidationEngine.hasExpensiveExprs(ann))
+    assert(ValidationEngine.prefilterIsCheap(ann), ValidationEngine.debugValidExpr(ann))
     val v = ValidationEngine.violationsWith(ann, Seq("id"))
     val flags = generateOuterFlags(v.queryExecution.optimizedPlan)
     assert(flags == Seq(false), s"expected one non-outer Generate, got $flags")
@@ -67,7 +67,7 @@ class ViolationsStrategySpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("from_json spec keeps the outer form and parses exactly once") {
     val ann = ValidationEngine.annotateWith(parsedDf,
       SpecCompiler.compileColumn(mapSpec, MapType(StringType, LongType), col("m"), "$"))
-    assert(ValidationEngine.hasExpensiveExprs(ann))
+    assert(!ValidationEngine.prefilterIsCheap(ann))
     val v = ValidationEngine.violationsWith(ann, Seq("id"))
     val opt = v.queryExecution.optimizedPlan
     val flags = generateOuterFlags(opt)
@@ -79,6 +79,35 @@ class ViolationsStrategySpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"from_json must be evaluated once; plan:\n$opt")
     assert(v.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "$.k.minimum"), (3L, "$.k.maximum")))
+  }
+
+  test("array-items and regex specs take the outer form (cheapness is a whitelist)") {
+    // tuple/array item checks compile to forall (eval-only HOF) or
+    // O(|array|) walks — evaluating them twice in a pushed filter was
+    // the round-4 bench regression (val_tuple_items 0.21 → 1.00 s)
+    val arrSpec = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "xs": {"type": "array", "items": [{"type": "integer", "minimum": 0},
+                                             {"type": "integer"}]}
+         }}""")
+    val arrDf = Seq((1L, Seq(1, 2)), (2L, Seq(-5, 3))).toDF("id", "xs")
+    val annArr = ValidationEngine.annotate(arrDf, arrSpec)
+    assert(!ValidationEngine.prefilterIsCheap(annArr))
+    assert(generateOuterFlags(ValidationEngine.violationsWith(annArr, Seq("id"))
+      .queryExecution.optimizedPlan) == Seq(true))
+
+    // regex containment over document-sized strings: same rule
+    val reSpec = SchemaParser.parse(
+      """{"type": "object", "properties": {
+           "s": {"type": "string", "pattern": "^src[0-9]$"}
+         }}""")
+    val annRe = ValidationEngine.annotate(plainDf, reSpec)
+    assert(!ValidationEngine.prefilterIsCheap(annRe))
+
+    // …while enum/bounds/integer-ness stay on the fast path
+    val evSpec = SchemaParser.parse(graft.SparkEntry.EventsSpecJson)
+    val evDf = Seq((1L, 2.0, 3L, "click")).toDF("event_id", "value", "user_id", "event_type")
+    assert(ValidationEngine.prefilterIsCheap(ValidationEngine.annotate(evDf, evSpec)))
   }
 
   test("both strategies return identical rows on the same annotated frame") {
