@@ -110,6 +110,36 @@ class ViolationsStrategySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ValidationEngine.prefilterIsCheap(ValidationEngine.annotate(evDf, evSpec)))
   }
 
+  test("fast-path violations plan is ONE whole-stage-codegen span, scan to output") {
+    // the property the concat-form violationsArray exists for: no
+    // eval-only HOF anywhere in the plan, so the scan → filter →
+    // violations projection → generate → output chain compiles into a
+    // single codegen span (measured: val_events_spec 1.12 → 0.40 s).
+    // A regression that reintroduces an interpreted node here splits
+    // the span and this count changes.
+    import org.apache.spark.sql.execution.{FilterExec, GenerateExec, ProjectExec, WholeStageCodegenExec}
+    // range-based input so ConvertToLocalRelation cannot fold the plan
+    val df = spark.range(1, 100).select(col("id"),
+      (col("id") * 7 - 350).as("a"), concat(lit("s"), col("id")).as("s"))
+    val ann = ValidationEngine.annotate(df, plainSpec)
+    val v = ValidationEngine.violationsWith(ann, Seq("id"))
+    val exec = v.queryExecution.executedPlan
+    val spans = exec.collect { case w: WholeStageCodegenExec => w }
+    assert(spans.length == 1, s"expected one codegen span, plan:\n$exec")
+    // the generate and every project/filter sit INSIDE that span
+    assert(spans.head.exists(_.isInstanceOf[GenerateExec]),
+      s"Generate fell out of codegen:\n$exec")
+    def insideSpan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      spans.head.exists(_ eq p)
+    val strays = exec.collect {
+      case p: ProjectExec if !insideSpan(p) => p
+      case p: FilterExec if !insideSpan(p) => p
+      case p: GenerateExec if !insideSpan(p) => p
+    }
+    assert(strays.isEmpty,
+      s"interpreted Project/Filter/Generate outside the codegen span:\n$exec")
+  }
+
   test("both strategies return identical rows on the same annotated frame") {
     val ann = ValidationEngine.annotate(plainDf, plainSpec)
     val fast = ValidationEngine.violationsWith(ann, Seq("id"))
