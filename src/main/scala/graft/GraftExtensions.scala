@@ -106,6 +106,15 @@ object GraftFunctions {
           val vocab = if (args.length >= 3) intArg(args(2), "vocab")
             else graft.gen.SequenceGen.Vocab
           graft.ops.TokenStats(args(0), n, vocab)
+        }),
+      (
+        new FunctionIdentifier("token_grams"),
+        new ExpressionInfo(classOf[graft.ops.TokenGrams].getName, "token_grams"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "token_grams(tokens ARRAY<INT> [, n INT])")
+          val n = if (args.length == 2) intArg(args(1), "n") else 3
+          graft.ops.TokenGrams(args(0), n)
         }))
 
   /** Install into a live session (same registrations as the extension),

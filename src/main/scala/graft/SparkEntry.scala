@@ -600,6 +600,18 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_overlap"), col("contamination"))
     }),
 
+    // token-SPACE decontamination (the pre-tokenized input shape): eval
+    // slice's distinct token-5-grams broadcast; per-corpus-doc overlap
+    "decon_tokens" -> ((s, dir) => {
+      val toks = read(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("doc_id"), SeqOps.tokenize(col("text"), 49152).as("toks"))
+      SeqOps.tokenContaminationScores(
+        toks.where(col("doc_id") % 17 =!= 3), "doc_id", "toks",
+        toks.where(col("doc_id") % 17 === 3), "toks", n = 5)
+        .select(col("id").as("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_overlap"), col("contamination"))
+    }),
+
     // === similarity search ===
     "ann_topk" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -1250,6 +1262,31 @@ object SparkEntry {
                    round(count(*) / CAST(n_sh AS DOUBLE), 6) AS contamination
             FROM c JOIN b USING (s)
             GROUP BY c.doc_id, c.n_sh""",
+
+      // token-space decon: tokenize via the portable hash (same as
+      // seq_repetition), distinct token-5-grams as comma-joined strings
+      // (engine joins on xxhash64 of the same strings), short docs gram
+      // as the whole sequence
+      "decon_tokens" ->
+        s"""WITH t AS (SELECT doc_id,
+                         list_transform($wordsSql, w -> CAST(${hFullSql("w")} % 49152 AS INT)) AS toks
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT doc_id,
+                    CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+                           generate_series(1, len(toks) - 4),
+                           i -> CAST(toks[i] AS VARCHAR) || ',' || CAST(toks[i+1] AS VARCHAR)
+                                || ',' || CAST(toks[i+2] AS VARCHAR) || ',' || CAST(toks[i+3] AS VARCHAR)
+                                || ',' || CAST(toks[i+4] AS VARCHAR)))
+                         ELSE [array_to_string(toks, ',')] END AS gs
+                  FROM t),
+            b AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 17 = 3),
+            c AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gr
+                  FROM g WHERE doc_id % 17 <> 3)
+            SELECT c.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_overlap,
+                   round(count(*) / CAST(n_grams AS DOUBLE), 6) AS contamination
+            FROM c JOIN b USING (gr)
+            GROUP BY c.doc_id, c.n_grams""",
 
       "ann_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv

@@ -61,6 +61,65 @@ object SeqOps {
         round(lit(1.0) - element_at(col("_ts"), 3).cast("double") /
           element_at(col("_ts"), 2), 6).as("dup_ratio"))
 
+  /** Codegen'd distinct token `n`-grams as comma-joined decimal strings
+    * (see [[TokenGrams]]). Use THIS on hot paths; [[tokenGramsRef]] is
+    * the declarative differential oracle (eval-only HOF chain).
+    */
+  def tokenGrams(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(TokenGrams(EU.expression(tokens), n))
+  }
+
+  /** Declarative reference form of [[tokenGrams]] — same values and
+    * order (array_distinct keeps first occurrence), asserted ≡ by
+    * OpsSpec; never on the hot path.
+    */
+  def tokenGramsRef(tokens: Column, n: Int): Column = {
+    val len = size(tokens)
+    def str(c: Column): Column = coalesce(c.cast("string"), lit("ø"))
+    val grams = transform(sequence(lit(1), len - n + 1), i =>
+      concat_ws(",", (0 until n).map(j => str(element_at(tokens, i + j))): _*))
+    val whole = array(concat_ws(",", transform(tokens, t => str(t))))
+    when(tokens.isNull, lit(null).cast("array<string>"))
+      .otherwise(when(len >= n, array_distinct(grams)).otherwise(whole))
+  }
+
+  /** Token-space benchmark decontamination: per-corpus-doc overlap with
+    * an eval set, measured on token `n`-grams — the decontamination a
+    * pipeline over PRE-TOKENIZED sequences actually runs (the eval sets
+    * of record ship tokenized; text shingling would require detokenizing
+    * first and diverge across tokenizer versions). Same scale shape as
+    * [[Dedup.contaminationScores]]: the eval side collapses to its
+    * distinct gram-hash set and broadcasts; corpus grams stream through
+    * a broadcast LEFT SEMI (BroadcastHashJoin — zero corpus shuffle)
+    * into a per-doc hash aggregation with map-side partial combine.
+    * 8-byte `xxhash64` gram keys cross the pipeline, not gram strings —
+    * the [[Dedup.ngramJaccardPairs]] collision argument.
+    *
+    * Output: `(id, n_grams, n_overlap, contamination)` — one row per
+    * corpus doc sharing at least one gram; `contamination` =
+    * overlap / distinct-gram count. Filter/threshold is the caller's
+    * policy (`where(contamination >= x)` or an anti-join on id).
+    */
+  def tokenContaminationScores(corpus: DataFrame, keyCol: String,
+      tokensCol: String, bench: DataFrame, benchTokensCol: String,
+      n: Int = 8): DataFrame = {
+    val bg = bench
+      .select(explode(tokenGrams(col(benchTokensCol), n)).as("g0"))
+      .select(xxhash64(col("g0")).as("g"))
+      .distinct()
+    corpus
+      .select(col(keyCol).as("id"), tokenGrams(col(tokensCol), n).as("gs"))
+      .select(col("id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g0"))
+      .select(col("id"), col("n_grams"), xxhash64(col("g0")).as("g"))
+      .join(broadcast(bg), Seq("g"), "left_semi")
+      .groupBy(col("id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_grams"), 6))
+      .select(col("id"), col("n_grams"), col("n_overlap"), col("contamination"))
+  }
+
   /** Out-of-vocabulary rate per source over token arrays: total tokens,
     * OOV tokens (outside `[0, vocab)`, incl. null elements), and the
     * rate — the ingest-gate check that a tokenizer/vocab mismatch

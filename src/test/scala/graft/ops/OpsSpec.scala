@@ -401,6 +401,65 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sqlForm == scalaForm)
   }
 
+  test("TokenGrams kernel ≡ declarative HOF oracle; token decontamination counts") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("toks", ArrayType(IntegerType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(0L, Seq(1, 2, 3, 4, 5, 6)),                // plain
+      Row(1L, Seq(9, 9, 9, 9, 9, 9)),                // one distinct gram
+      Row(2L, Seq(7, 8)),                            // shorter than n
+      Row(3L, Seq.empty[Int]),                       // empty → one "" gram
+      Row(4L, null),                                 // null array
+      Row(5L, Seq(1, null, 3, 4, 1, null, 3)),       // null elements → ø
+      Row(6L, (0 until 30).map(i => i % 4)))         // heavy repetition
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => r: Row), 3), schema)
+
+    for (n <- Seq(1, 3, 5)) {
+      val got = df.select(col("id"), SeqOps.tokenGrams(col("toks"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+      val want = df.select(col("id"), SeqOps.tokenGramsRef(col("toks"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+      assert(got == want, s"n=$n")
+    }
+    // spot-check values: grams are comma-joined decimals, distinct,
+    // first-occurrence order; short/empty docs gram as the whole array
+    val g0 = df.where(col("id") === 0)
+      .select(SeqOps.tokenGrams(col("toks"), 3)).collect()(0).getSeq[String](0)
+    assert(g0 == Seq("1,2,3", "2,3,4", "3,4,5", "4,5,6"))
+    assert(df.where(col("id") === 1)
+      .select(SeqOps.tokenGrams(col("toks"), 3)).collect()(0).getSeq[String](0) == Seq("9,9,9"))
+    assert(df.where(col("id") === 2)
+      .select(SeqOps.tokenGrams(col("toks"), 3)).collect()(0).getSeq[String](0) == Seq("7,8"))
+    assert(df.where(col("id") === 5)
+      .select(SeqOps.tokenGrams(col("toks"), 3)).collect()(0).getSeq[String](0).head == "1,ø,3")
+    assert(df.where(col("id") === 4)
+      .select(SeqOps.tokenGrams(col("toks"), 3)).collect()(0).isNullAt(0))
+
+    // decontamination: doc 0 shares grams 2,3,4 / 3,4,5 with the eval
+    // doc [2,3,4,5]; doc 6 shares nothing with it
+    val eval = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(100L, Seq(2, 3, 4, 5)))), schema)
+    val scores = SeqOps.tokenContaminationScores(
+        df.where(col("toks").isNotNull), "id", "toks", eval, "toks", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(scores(0L) == (4, 2L)) // grams 2,3,4 and 3,4,5 of 4 distinct
+    assert(!scores.contains(6L))
+    assert(!scores.contains(1L))
+
+    // SQL registration parity
+    graft.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("tokgrams_t")
+    val sqlForm = spark.sql(
+      "SELECT id, token_grams(toks, 3) AS g FROM tokgrams_t WHERE toks IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val scalaForm = df.where(col("toks").isNotNull)
+      .select(col("id"), SeqOps.tokenGrams(col("toks"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sqlForm == scalaForm)
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val meta = Multimodal.extractMeta(docs, "doc_id", "text").collect()
       .map(m => m.key -> m).toMap
