@@ -464,6 +464,28 @@ object SparkEntry {
       Dedup.minhashIncrementalPairs(s, path, newB, "doc_id", "text")
     }),
 
+    // incremental EXACT dedup: new batch probes the corpus fingerprint
+    // index — ≡ exactDuplicates over old∪new restricted to new keys.
+    // The raw documents table has NO exact duplicates, so the input
+    // unions in a re-keyed copy of the doc_id%13=2 slice (+1000007
+    // shifts the %10 class by 7, landing copies in both batch lanes) —
+    // a vacuous 0-row pass would prove nothing
+    "dedup_exact_incr" -> ((s, dir) => {
+      val d0 = read(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val docs = d0.union(d0.where(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 1000007L).as("doc_id"), col("text")))
+      val newB = docs.where(col("doc_id") % 10 === 7)
+      val oldB = docs.where(col("doc_id") % 10 =!= 7)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_fp_index_" +
+        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        Dedup.exactWriteIndex(oldB, "doc_id", "text", path)
+      Dedup.exactIncrementalDuplicates(s, path, newB, "doc_id", "text")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashDf(read(s, dir, "documents"), "doc_id", "text")),
 
@@ -1054,6 +1076,25 @@ object SparkEntry {
         s"""WITH sig AS ($minhashSigNNSql), cand AS ($bandJoins)
             SELECT a, b FROM cand WHERE a % 10 = 7 OR b % 10 = 7"""
       },
+
+      // full-corpus exact drop-list restricted to new (doc_id % 10 = 7)
+      // keys — the incremental exact op's contract; keep_id is the
+      // group min over old∪new
+      "dedup_exact_incr" ->
+        """WITH d0 AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            base AS (SELECT doc_id, text FROM d0
+                     UNION ALL
+                     SELECT doc_id + 1000007, text FROM d0 WHERE doc_id % 13 = 2),
+            f AS (SELECT doc_id,
+                        md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+                      FROM base),
+            g AS (SELECT doc_id,
+                         min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+                         count(*) OVER (PARTITION BY fp) AS n
+                  FROM f)
+            SELECT doc_id, keep_id FROM g
+            WHERE doc_id % 10 = 7 AND n > 1 AND doc_id <> keep_id""",
 
       // transitive closure via recursive CTE, then min reachable id per
       // node — the declarative equivalent of the engine's min-label

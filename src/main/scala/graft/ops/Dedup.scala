@@ -76,6 +76,57 @@ object Dedup {
       .select(col(keyCol), col("keep_id"))
   }
 
+  /** Materialized exact-dedup index: `(fp, id)` — the normalized-content
+    * fingerprint (16-byte md5; 128 bits keeps birthday collisions
+    * negligible at 10^12 docs where 8-byte keys would alias) of every
+    * corpus doc, parquet-partitioned by fingerprint hash so incremental
+    * probes prune at STORAGE level. The exact-dedup sibling of
+    * [[minhashWriteIndex]]: build once per corpus, probe per batch.
+    */
+  def exactWriteIndex(df: DataFrame, keyCol: String, textCol: String,
+      path: String, nPartBuckets: Int = 256): Unit =
+    df.select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
+      .where(col("fp").isNotNull)
+      .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+  /** Incremental exact dedup: drop-list rows of a NEW batch against the
+    * existing corpus (via its [[exactWriteIndex]]) AND within the batch
+    * — exactly [[exactDuplicates]] over old∪new restricted to new keys
+    * (asserted by an OpsSpec differential and the `dedup_exact_incr`
+    * oracle). `keep_id` is the group minimum over old∪new, so a new doc
+    * that becomes the group survivor is (correctly) not listed.
+    *
+    * Scale shape: one scan of the BATCH text (fingerprints), a
+    * partition-pruned index read (`_pb IN (batch's fingerprint
+    * buckets)` — a driver-side list bounded by nPartBuckets), a
+    * broadcast LEFT SEMI of index rows against the batch's distinct
+    * fingerprints (the increment is small by daily-ingest contract),
+    * then one batch-sized window over the matched rows. Corpus text is
+    * never re-read, corpus fingerprints never recomputed.
+    */
+  def exactIncrementalDuplicates(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
+      nPartBuckets: Int = 256): DataFrame = {
+    val newRows = newBatch
+      .select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
+      .where(col("fp").isNotNull)
+      .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
+    val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
+    val newFps = newRows.select("fp").distinct()
+    val oldMatched = spark.read.parquet(indexPath)
+      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
+      .join(broadcast(newFps), Seq("fp"), "left_semi")
+      .select(col("fp"), col("id"), lit(false).as("is_new"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    newRows.select(col("fp"), col("id"), lit(true).as("is_new"))
+      .union(oldMatched)
+      .select(col("id"), col("is_new"),
+        min(col("id")).over(w).as("keep_id"), count(lit(1)).over(w).as("_n"))
+      .where(col("is_new") && col("_n") > 1 && col("id") =!= col("keep_id"))
+      .select(col("id").as(keyCol), col("keep_id"))
+  }
+
   /** Word 3-gram shingles over a PRE-PROJECTED words array column; docs
     * shorter than 3 words use the whole text as a single shingle (shared
     * convention with the oracle SQL).

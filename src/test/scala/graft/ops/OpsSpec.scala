@@ -778,6 +778,36 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("LeftSemi"), plan.take(2000))
   }
 
+  test("incremental exact dedup ≡ full-corpus drop-list restricted to new keys") {
+    val all = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "The cat  sat on the mat"),    // old-old normalized dup of 0
+      (7L, "THE CAT SAT ON THE MAT "),    // new normalized dup of 0,1
+      (3L, "something else entirely"),
+      (17L, "something else entirely"),   // new dup of 3
+      (27L, "a new batch singleton"),
+      (37L, "repeated within the batch"),
+      (47L, "repeated within the batch"), // new-new dup of 37
+      (2L, "an old-only singleton")
+    ).toDF("doc_id", "text")
+    val newB = all.where(col("doc_id") % 10 === 7)
+    val oldB = all.where(col("doc_id") % 10 =!= 7)
+    val path = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+    Dedup.exactWriteIndex(oldB, "doc_id", "text", path)
+    val inc = Dedup.exactIncrementalDuplicates(spark, path, newB, "doc_id", "text")
+    val got = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.exactDuplicates(all, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = full.filter(_._1 % 10 == 7)
+    assert(got == want)
+    assert(got == Set((7L, 0L), (17L, 3L), (47L, 37L)))
+    assert(full.exists(_._1 % 10 != 7), "corpus must have old-only dups the op excludes")
+    // probe is index-shaped: batch fingerprints broadcast into a LEFT
+    // SEMI against the stored index — no corpus text on the plan
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
   test("repetitionFeatures: null text nulls out (no misleading n_grams=1)") {
     val rows = Seq((0L, "a b c d e"), (1L, null)).toDF("doc_id", "text")
     val got = TextOps.repetitionFeatures(rows, "doc_id", "text").collect()
