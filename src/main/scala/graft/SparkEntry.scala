@@ -388,6 +388,20 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
         .drop("approx_distinct")), // HLL is engine-only; oracle checks exact stats
 
+    // MERGEABLE profiles: per-batch artifact rows (doc_id % 4 batches)
+    // merged WITHOUT re-scanning raw data ≡ the whole-table profile;
+    // sketch fields are engine-only (MergeableProfileSpec asserts
+    // union-of-sketches ≡ sketch-of-union), oracle checks exact fields
+    "prof_merge" -> ((s, dir) => {
+      val cols = Seq("lang", "source", "n_chars")
+      val batches = MergeableProfile.batchProfile(
+        read(s, dir, "documents").withColumn("_b", pmod(col("doc_id"), lit(4L))),
+        "_b", cols, "n_chars", 50.0, 16)
+      MergeableProfile.estimates(MergeableProfile.merge(batches, cols, 16), cols)
+        .select(col("column").as("col_name"), col("n"), col("n_null"),
+          col("null_rate"), col("min"), col("max"))
+    }),
+
     "val_histogram" -> ((s, dir) =>
       Checks.histogram(read(s, dir, "documents"), "n_chars", 50.0, Seq("lang"))),
 
@@ -870,6 +884,15 @@ object SparkEntry {
             GROUP BY source""",
 
       "val_profile" -> Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+            CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+            round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_rate,
+            CAST(min($c) AS VARCHAR) AS min, CAST(max($c) AS VARCHAR) AS max
+            FROM documents"""
+      }.mkString("\nUNION ALL\n"),
+
+      // merged-artifact profile must equal the direct whole-table stats
+      "prof_merge" -> Seq("lang", "source", "n_chars").map { c =>
         s"""SELECT '$c' AS col_name, count(*) AS n,
             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
             round(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_rate,
