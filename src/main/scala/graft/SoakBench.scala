@@ -220,6 +220,59 @@ object SoakBench {
       val corpus = docs.where(idNum =!= 5)
       Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text").count()
     }
+    run("token_decon") {
+      // token-SPACE decon over the SAME corpus/eval split as the text
+      // stage above, tokens derived per word (one md5 each, the
+      // tokenize bridge). Every injection lane that shares a text
+      // 3-shingle also shares a token 8-gram (exact dups: all; near-dup
+      // lane: 16/17 grams; boilerplate: all; 24-word docs clear both
+      // minimums), and pool 65521 keeps random gram collisions
+      // negligible — so out_rows must EQUAL the text stage's
+      // (6,952 at 20M): a cross-OPERATOR invariant, not just arithmetic.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+      val toks = docs.select(col("doc_id"), idNum.as("_i"),
+        SeqOps.tokenize(col("text"), 49152).as("toks"))
+      SeqOps.tokenContaminationScores(
+        toks.where(col("_i") =!= 5), "doc_id", "toks",
+        toks.where(col("_i") === 5), "toks", n = 8).count()
+    }
+    run("exact_incr_index") {
+      // one-time corpus fingerprint index build (the amortized cost of
+      // the incremental path); out_rows = indexed corpus docs
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      Dedup.exactWriteIndex(docs.where(idNum =!= 7), "doc_id", "text",
+        s"$data-fpidx")
+      spark.read.parquet(s"$data-fpidx").count()
+    }
+    run("exact_incr_probe") {
+      // the per-batch cost: a ~rows/101 "daily" batch probes the index.
+      // out_rows = batch drop-list rows: the dup-lane partner lands in
+      // the batch at id%16==1 ∧ id%101==7 (≈ rows/1616) plus batch
+      // boilerplate docs (≈ rows/10007/101, all non-survivors since the
+      // group min id 0 stays old): ≈ 12,395 at 20M.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      Dedup.exactIncrementalDuplicates(spark, s"$data-fpidx",
+        docs.where(idNum === 7), "doc_id", "text").count()
+    }
+    run("profile_batches_merge") {
+      // mergeable artifacts over the pre-tokenized shape: 64 per-batch
+      // profile rows (counts, min/max, HLL incl. ~20M-distinct doc_id,
+      // token-length histogram) then artifact-only merge + estimates.
+      // out_rows = profiled columns.
+      val seqs = graft.gen.SequenceGen.generate(spark, rows)
+      val cols = Seq("doc_id", "source", "n_tok")
+      val b = graft.engine.MergeableProfile.batchProfile(
+        seqs.withColumn("_b", pmod(xxhash64(col("doc_id")), lit(64L))),
+        "_b", cols, "n_tok", 32.0, 16)
+      val est = graft.engine.MergeableProfile.estimates(
+        graft.engine.MergeableProfile.merge(b, cols, 16), cols)
+      // collect() the full long rows — a count() lets ColumnPruning drop
+      // every sketch/min/max aggregate and time only a key-count scan
+      // (measured: 1.1 s vs the real pass). out_rows = the sketch's
+      // doc_id distinct estimate (~rows; HLL ±2% at lgK 12, spot-checked
+      // against the dup-lane arithmetic rows·(1 - 1/1000)).
+      est.collect().find(_.getString(0) == "doc_id").get.getLong(6)
+    }
 
     val total = results.map(_._2).sum
     val peak = results.map(_._4).max

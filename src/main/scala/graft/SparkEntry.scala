@@ -422,6 +422,24 @@ object SparkEntry {
         .select(col("lang"), round(col("kl"), 6).as("kl"), round(col("psi"), 6).as("psi"))
     }),
 
+    // drift computed purely from profile ARTIFACTS (no raw re-scan on
+    // either side): merged even-doc batch artifacts are the baseline,
+    // the odd-doc artifact is the observed side — the oracle computes
+    // the same PSI/KL from raw data
+    "drift_profiles" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      val cols = Seq("n_chars")
+      val base = MergeableProfile.merge(MergeableProfile.batchProfile(
+        docs.where(col("doc_id") % 2 === 0)
+          .withColumn("_b", pmod(col("doc_id"), lit(8L))),
+        "_b", cols, "n_chars", 50.0, 16), cols, 16)
+      val cur = MergeableProfile.batchProfile(
+        docs.where(col("doc_id") % 2 === 1).withColumn("_one", lit(1)),
+        "_one", cols, "n_chars", 50.0, 16)
+      MergeableProfile.driftFromProfiles(base, cur.drop("batch"))
+        .select(round(col("kl"), 6).as("kl"), round(col("psi"), 6).as("psi"))
+    }),
+
     // === cross-row checks ===
     "chk_unique" -> ((s, dir) =>
       Checks.uniquenessViolations(read(s, dir, "events"), "user_id")),
@@ -936,6 +954,25 @@ object SparkEntry {
            SELECT lang, round(sum(p * ln(p/q)), 6) AS kl,
                   round(sum((p - q) * ln(p/q)), 6) AS psi
            FROM j GROUP BY lang""",
+
+      // both hist sides carry ALL 16 clamped buckets (zero-count buckets
+      // get the eps floor), matching the artifact histograms exactly
+      "drift_profiles" ->
+        """WITH spine AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+                ch AS (SELECT least(greatest(CAST(floor(n_chars/50.0) AS BIGINT), 0), 15) AS bucket,
+                              count(*) AS n
+                       FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+                bh AS (SELECT least(greatest(CAST(floor(n_chars/50.0) AS BIGINT), 0), 15) AS bucket,
+                              count(*) AS n
+                       FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+                o AS (SELECT s.bucket, coalesce(ch.n, 0) AS n FROM spine s LEFT JOIN ch USING (bucket)),
+                b AS (SELECT s.bucket, coalesce(bh.n, 0) AS n FROM spine s LEFT JOIN bh USING (bucket)),
+                j AS (SELECT o.n / (SELECT CAST(sum(n) AS DOUBLE) FROM o) + 1e-6 AS p,
+                             b.n / (SELECT CAST(sum(n) AS DOUBLE) FROM b) + 1e-6 AS q
+                      FROM o JOIN b USING (bucket))
+           SELECT round(sum(p * ln(p/q)), 6) AS kl,
+                  round(sum((p - q) * ln(p/q)), 6) AS psi
+           FROM j""",
 
       "val_violations2" -> Seq(
         ("$.doc_id.required", "doc_id IS NULL", "CAST(NULL AS VARCHAR)"),
