@@ -82,6 +82,15 @@ object Dedup {
     * corpus doc, parquet-partitioned by fingerprint hash so incremental
     * probes prune at STORAGE level. The exact-dedup sibling of
     * [[minhashWriteIndex]]: build once per corpus, probe per batch.
+    *
+    * Sizing `nPartBuckets` at corpus scale: a probe reads
+    * `corpus · min(batchDistinctFps, nPartBuckets) / nPartBuckets` index
+    * rows, so pruning only bites when buckets OUTNUMBER the batch —
+    * pick nPartBuckets ≳ 10-100× the expected batch size for 90-99%
+    * of the index skipped (at 10^12 docs / 10^5-doc daily batches,
+    * 2^20 buckets reads ~10% of the index per probe; the default 256
+    * is sized for test-scale file counts, where every bucket is hit
+    * and pruning is a no-op by design).
     */
   def exactWriteIndex(df: DataFrame, keyCol: String, textCol: String,
       path: String, nPartBuckets: Int = 256): Unit =

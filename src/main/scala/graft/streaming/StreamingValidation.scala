@@ -66,6 +66,27 @@ object StreamingValidation {
         batch, keyCol, textCol, bench, benchTextCol), batchId)
     }
 
+  /** Streaming mergeable profiling: emit one profile ARTIFACT row per
+    * micro-batch via `foreachBatch` — the streaming form of
+    * [[graft.engine.MergeableProfile]]. The query itself carries ZERO
+    * cross-batch state (no state store; same contract as
+    * [[decontaminateStream]]): the persisted artifacts ARE the state,
+    * and any span of them merges later via
+    * [[graft.engine.MergeableProfile.merge]] — StreamingValidationSpec
+    * asserts merge-of-micro-batch-artifacts ≡ the batch profile of the
+    * whole stream, sketches included. `sink` receives each micro-batch's
+    * artifact row (its `batch` column = the micro-batch id).
+    */
+  def profileStream(stream: DataFrame, cols: Seq[String], histCol: String,
+      bucketWidth: Double, nBuckets: Int)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      sink(graft.engine.MergeableProfile.batchProfile(
+        batch.withColumn("_mb", lit(batchId)), "_mb", cols, histCol,
+        bucketWidth, nBuckets), batchId)
+    }
+
   /** Streaming decontamination as a continuously-updating RESULT TABLE:
     * flag arriving docs sharing a word 3-gram with a STATIC benchmark
     * table — a stream-static join, the idiomatic shape for enrichment

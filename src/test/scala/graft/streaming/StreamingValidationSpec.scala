@@ -258,4 +258,45 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
         s"expected a stateless query, got ${prog.stateOperators.length} state operators")
     } finally q.stop()
   }
+
+  test("streaming profile artifacts: merge of micro-batch rows ≡ whole-stream batch profile") {
+    import spark.implicits._
+    import graft.engine.MergeableProfile
+    implicit val sqlCtx = spark.sqlContext
+    val cols = Seq("src", "score")
+    val rows = (0 until 300).map(i =>
+      (i.toLong, s"s${i % 5}", if (i % 7 == 3) None else Some(i % 40)))
+    val artifacts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.DataFrame]
+    val mem = MemoryStream[(Long, String, Option[Int])]
+    val q = StreamingValidation.profileStream(
+        mem.toDF().toDF("id", "src", "score"), cols, "score", 5.0, 8) {
+        (artifact, _) =>
+          // a real sink appends to a parquet/Iceberg artifact table;
+          // localCheckpoint stands in (collect-and-recreate would too)
+          artifacts.synchronized { artifacts += artifact.localCheckpoint() }
+      }.start()
+    try {
+      mem.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+      assert(artifacts.synchronized(artifacts.size) >= 2,
+        "data arrived in two adds; expected at least two micro-batch artifacts")
+      val merged = MergeableProfile.merge(
+        artifacts.synchronized(artifacts.reduce(_ unionByName _)), cols, 8)
+      val whole = MergeableProfile.batchProfile(
+        rows.toDF("id", "src", "score").withColumn("_one", lit(1)),
+        "_one", cols, "score", 5.0, 8).drop("batch")
+      def render(p: org.apache.spark.sql.DataFrame) =
+        MergeableProfile.estimates(p, cols).collect()
+          .map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(render(merged) == render(whole))
+      assert(merged.select("hist").collect()(0).getSeq[Long](0) ==
+        whole.select("hist").collect()(0).getSeq[Long](0))
+      // zero cross-batch state, like the bounded decontamination form
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
