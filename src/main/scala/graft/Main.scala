@@ -94,11 +94,51 @@ object Main {
       spark.stop()
       return
     }
+    // profile: one mergeable artifact row per batch APPENDED to an
+    // artifact table, then the merged estimates of EVERYTHING appended
+    // so far — the incremental-profiling loop (engine.MergeableProfile):
+    // each ingest run pays one scan of ITS batch; history is artifacts.
+    if (args.length >= 3 && args(0) == "profile") {
+      val spark = SparkSession.builder()
+        .appName("graft-profile")
+        .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]"))
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val df =
+        if (args(1).startsWith("gen:")) SequenceGen.generate(spark, args(1).drop(4).toLong)
+        else spark.read.parquet(args(1))
+      val artifactDir = args(2)
+      def opt(flag: String, dflt: String): String = args.sliding(2).collectFirst {
+        case Array(`flag`, v) => v
+      }.getOrElse(dflt)
+      val batchCol = opt("--batchCol", "source")
+      val cols = opt("--cols", "doc_id,n_tok,source").split(",").toSeq
+      val histCol = opt("--histCol", "n_tok")
+      val width = opt("--bucketWidth", "32").toDouble
+      val nBuckets = opt("--nBuckets", "16").toInt
+      // tag this run so appended artifact batches stay distinguishable
+      val runId = System.currentTimeMillis()
+      MergeableProfile.batchProfile(df, batchCol, cols, histCol, width, nBuckets)
+        .withColumn("batch", concat(lit(s"$runId/"), col("batch").cast("string")))
+        .write.mode("append").parquet(artifactDir)
+      val all = spark.read.parquet(artifactDir)
+      println(s"[graft] artifact rows: ${all.count()} (this run appended its batches under $runId/)")
+      MergeableProfile.estimates(
+          MergeableProfile.merge(all, cols, nBuckets), cols)
+        .collect().foreach { r =>
+          println(f"[graft] column=${r.getString(0)}%-8s n=${r.getLong(1)}%10d null_rate=${r.getDouble(3)}%.6f min=${r.getString(4)} max=${r.getString(5)} ~distinct=${r.getLong(6)}%d")
+        }
+      spark.stop()
+      return
+    }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
         "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--emitValid] [--dialect posix|java]\n" +
         "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
-        "       graft.Main infer <inputParquetDir|gen:N> [enumMax]")
+        "       graft.Main infer <inputParquetDir|gen:N> [enumMax]\n" +
+        "       graft.Main profile <inputParquetDir|gen:N> <artifactDir> [--batchCol c] [--cols c1,c2] [--histCol c] [--bucketWidth w] [--nBuckets n]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))
