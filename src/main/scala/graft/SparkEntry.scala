@@ -29,6 +29,14 @@ object SparkEntry {
     */
   val SampleRates: Map[String, Double] = Map("src0" -> 0.125, "src1" -> 0.5)
   val SampleDefaultRate: Double = 0.25
+
+  /** Mixture-weighting demo: src0's target share is large enough that the
+    * epoch cap binds (rate clamps to MixMaxEpochs); src1's does not.
+    * Strata absent from the map get share 0 → rate 0.
+    */
+  val MixShares: Map[String, Double] = Map("src0" -> 0.5, "src1" -> 0.25)
+  val MixBudget: Long = 50000L
+  val MixMaxEpochs: Double = 2.0
   val DocSpecJson: String =
     s"""{
       "type": "object",
@@ -562,6 +570,15 @@ object SparkEntry {
     "seq_pack" -> ((s, dir) =>
       Pipeline.packSequences(read(s, dir, "documents"), "doc_id", "n_chars",
         "source", budget = 8192L, nShards = 8)),
+
+    "mix_weights" -> ((s, dir) =>
+      Pipeline.mixtureWeights(read(s, dir, "documents"), "source", "n_chars",
+        MixShares, MixBudget, MixMaxEpochs)),
+
+    // === event analytics (gap sessionization) ===
+    "evt_sessions" -> ((s, dir) =>
+      Sessions.sessionStats(read(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", gapSeconds = 1800L)),
 
     // === text analysis ===
     "txt_tokens" -> ((s, dir) =>
@@ -1199,6 +1216,38 @@ object SparkEntry {
                   FROM (SELECT doc_id, source, n_chars,
                         (${hFullSql("CAST(doc_id AS VARCHAR)")} % 8) AS shard
                         FROM documents))""",
+
+      "mix_weights" -> {
+        val shareCase = "(CASE source " +
+          MixShares.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+          " ELSE 0.0 END)::DOUBLE"
+        // operation ORDER mirrors the Scala impl exactly —
+        // (budget * share) / available — so the doubles are bit-equal
+        s"""SELECT source, available_tokens, $shareCase AS target_share,
+            LEAST(${MixMaxEpochs}::DOUBLE,
+                  (${MixBudget}.0::DOUBLE * $shareCase) / available_tokens::DOUBLE) AS rate,
+            CAST(round(LEAST(${MixMaxEpochs}::DOUBLE,
+                  (${MixBudget}.0::DOUBLE * $shareCase) / available_tokens::DOUBLE)
+                 * available_tokens::DOUBLE) AS BIGINT) AS expected_tokens
+            FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available_tokens
+                  FROM documents GROUP BY source)"""
+      },
+
+      "evt_sessions" ->
+        """SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+           FROM (SELECT user_id, ts, value,
+                   CAST(sum(CASE WHEN prev IS NULL
+                            OR (CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(prev)) AS BIGINT)) > 1800
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                 FROM (SELECT user_id, ts, event_id, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events))
+           GROUP BY 1, 2""",
 
       "dedup_simhash" -> simhashSql,
 

@@ -101,4 +101,39 @@ object Pipeline {
         floor((col("_cum") - col(tokCol).cast("long")).cast("double") / budget)
           .cast("long").as("bin_id"))
   }
+
+  /** Mixture weighting: turn target mixture shares into per-stratum
+    * sampling rates. Given a global token `budget` and each stratum's
+    * target share of it, the rate that hits the target is
+    * `budget * share / available_tokens`, capped at `maxEpochs` (a rate
+    * above 1.0 means the trainer repeats the stratum — upsampling; the
+    * cap bounds repetition of scarce domains, the standard guard against
+    * memorizing a small source). Output per stratum: available tokens,
+    * target share, the capped `rate`, and the tokens the rate actually
+    * yields (`expected_tokens = rate * available` — short of the target
+    * exactly when the epoch cap binds).
+    *
+    * One hash aggregation over the corpus (map-side partial merge; the
+    * result is one row per stratum, driver-small). Rates ≤ 1 feed
+    * [[stratifiedSample]] directly; rates above 1 split into one full
+    * epoch plus a fractional sample of the remainder. Strata absent
+    * from `shares` get share 0 → rate 0 (excluded from the mixture).
+    */
+  def mixtureWeights(df: DataFrame, strataCol: String, tokCol: String,
+      shares: Map[String, Double], budget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(shares.values.forall(s => s >= 0.0), "shares must be non-negative")
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val share = coalesce(element_at(typedlit(shares), col(strataCol)), lit(0.0))
+    df.groupBy(col(strataCol))
+      .agg(sum(col(tokCol).cast("long")).as("available_tokens"))
+      .select(col(strataCol), col("available_tokens"),
+        share.as("target_share"),
+        least(lit(maxEpochs),
+          lit(budget.toDouble) * share / col("available_tokens").cast("double"))
+          .as("rate"))
+      .withColumn("expected_tokens",
+        round(col("rate") * col("available_tokens").cast("double")).cast("long"))
+  }
 }

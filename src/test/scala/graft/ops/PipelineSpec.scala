@@ -182,4 +182,33 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sizes.forall(_._2 == 4L))
     assert(sizes.map(_._1).toSeq == (0L until 25L))
   }
+
+  // === mixtureWeights ===
+
+  test("mixtureWeights: rate hits the target share unless the epoch cap binds") {
+    // srcA: 1000 tokens, share 0.5 of 10k budget → needs rate 5 → capped 2
+    // srcB: 8000 tokens, share 0.25 → rate 10000*0.25/8000 = 0.3125
+    // srcC: absent from shares → rate 0
+    val df = Seq(("a1", "srcA", 600L), ("a2", "srcA", 400L),
+      ("b1", "srcB", 8000L), ("c1", "srcC", 123L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Pipeline.mixtureWeights(df, "source", "n_tok",
+        Map("srcA" -> 0.5, "srcB" -> 0.25), budget = 10000L, maxEpochs = 2.0)
+      .as[(String, Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("srcA", 1000L, 0.5, 2.0, 2000L),    // cap binds: 2 epochs, not 5
+      ("srcB", 8000L, 0.25, 0.3125, 2500L), // exact: expected = budget*share
+      ("srcC", 123L, 0.0, 0.0, 0L)))
+  }
+
+  test("mixtureWeights: expected tokens sum to the budget when no cap binds") {
+    val df = Seq(("a", "s0", 40000L), ("b", "s1", 60000L), ("c", "s2", 50000L))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Pipeline.mixtureWeights(df, "source", "n_tok",
+        Map("s0" -> 0.2, "s1" -> 0.3, "s2" -> 0.5), budget = 30000L)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.map(_._5).sum == 30000L)
+    // rates feed stratifiedSample: all within [0, 1] here
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
 }

@@ -1,0 +1,58 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSessionTestWrapper
+import org.scalatest.funsuite.AnyFunSuite
+
+class SessionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  // user 1: two sessions split by a 31-minute gap; user 2: one session
+  // whose events arrive out of order; the 1800s boundary itself does NOT
+  // split (strictly-greater semantics)
+  private lazy val events = Seq(
+    (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+    (2L, 1L, ts("2024-01-01 10:10:00"), 2.0),
+    (3L, 1L, ts("2024-01-01 10:40:00"), 3.0), // exactly 1800s after #2 → same session
+    (4L, 1L, ts("2024-01-01 11:11:01"), 4.0), // 1861s after #3 → new session
+    (6L, 2L, ts("2024-01-01 09:30:00"), 6.0),
+    (5L, 2L, ts("2024-01-01 09:00:00"), 5.0)
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  test("sessionize: strictly-greater gap starts a session; boundary does not") {
+    val out = Sessions.sessionize(events, "user_id", "ts", "event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("sessionStats: per-session span and totals; input order irrelevant") {
+    val out = Sessions.sessionStats(events, "user_id", "ts", "event_id", "value")
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 600L),
+      (1L, 2L, 1L, ts("2024-01-01 11:11:01"), ts("2024-01-01 11:11:01"), 400L),
+      (2L, 1L, 2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 1100L)))
+  }
+
+  test("sessionStats: the window's exchange is reused — exactly one shuffle") {
+    val out = Sessions.sessionStats(events, "user_id", "ts", "event_id", "value")
+    val shuffles = out.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1,
+      "grouping on (user_id, session_seq) must reuse the window's hash(user_id) partitioning")
+  }
+
+  test("sessionize: same-timestamp ties are ordered by event id deterministically") {
+    val tied = Seq(
+      (2L, 9L, ts("2024-01-01 10:00:00"), 0.0),
+      (1L, 9L, ts("2024-01-01 10:00:00"), 0.0),
+      (3L, 9L, ts("2024-01-01 11:00:00"), 0.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.sessionize(tied, "user_id", "ts", "event_id")
+      .select("event_id", "session_seq").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+}
