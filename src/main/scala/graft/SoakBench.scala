@@ -273,6 +273,39 @@ object SoakBench {
       // against the dup-lane arithmetic rows·(1 - 1/1000)).
       est.collect().find(_.getString(0) == "doc_id").get.getLong(6)
     }
+    run("sessions") {
+      // gap sessionization at event-stream scale, with an adversarially
+      // HOT entity: odd event ids all belong to user 0 (rows/2 events in
+      // ONE window partition — the documented machine-hot-key worst case
+      // for the per-entity sort), even ids round-robin over `users`
+      // entities. Event k of any user fires at k*1200 s plus an extra
+      // 3600 s pause before every third event, so gaps are 1200 s (same
+      // session) except every third (4800 s > 1800 → new session):
+      // sessions per user = ceil(K/3) EXACTLY. At 20M rows / 100k users:
+      // user 0 has 10M events → 3,333,334 sessions; each round-robin
+      // user has 100 → 34; out_rows = 3,333,334 + 3,400,000 = 6,733,334.
+      // Event-count conservation (Σ n_events = rows) is require'd.
+      val users = 100000L
+      val half = shiftright(col("id"), 1)
+      val k = when(pmod(col("id"), lit(2L)) === 1L, half)
+        .otherwise(floor(half / lit(users.toDouble)).cast("long"))
+      val ev = spark.range(rows).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(2L)) === 1L, lit(0L))
+          .otherwise(lit(1L) + pmod(half, lit(users))).as("user_id"),
+        timestamp_seconds(lit(1700000000L) + k * 1200L +
+          floor(k / lit(3.0)).cast("long") * 3600L).as("ts"),
+        (pmod(col("id"), lit(100L)).cast("double") / 10.0).as("value"))
+      val path = s"/tmp/graft_soak_events_$rows"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        ev.write.mode("overwrite").parquet(path)
+      val sess = graft.ops.Sessions.sessionStats(
+        spark.read.parquet(path), "user_id", "ts", "event_id", "value")
+      val agg = sess.agg(count(lit(1L)), sum(col("n_events"))).collect()(0)
+      require(agg.getLong(1) == rows,
+        s"session event conservation broken: ${agg.getLong(1)} != $rows")
+      agg.getLong(0)
+    }
 
     val total = results.map(_._2).sum
     val peak = results.map(_._4).max

@@ -120,6 +120,33 @@ object StreamingValidation {
         round(col("n_overlap").cast("double") / col("n_sh"), 6))
   }
 
+  /** Streaming gap sessionization: the built-in `session_window`
+    * aggregation — Spark merges events into a session while each arrives
+    * within `gap` of the session's end, and append mode emits every
+    * session EXACTLY ONCE, when the watermark passes its close. State is
+    * bounded by the number of OPEN sessions (watermark eviction), not by
+    * stream length — no custom state needed, so this composes with AQE
+    * and whole-stage codegen like any aggregation.
+    *
+    * Semantics vs the batch operator ([[graft.ops.Sessions]]): identical
+    * except at the exact boundary — `session_window`'s interval end is
+    * exclusive (an event exactly `gap` after the previous one starts a
+    * NEW session), while the batch op's strictly-greater rule keeps it.
+    * The streaming≡batch differential in the spec holds on any input
+    * free of exact-boundary gaps.
+    */
+  def sessionStream(stream: DataFrame, entityCol: String, tsCol: String,
+      valueCol: String, gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(entityCol), session_window(col(tsCol), gap).as("session"))
+      .agg(count(lit(1L)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_value_c"))
+      .select(col(entityCol), col("n_events"), col("start_ts"),
+        col("end_ts"), col("sum_value_c"))
+
   /** Per-source running verdict counts (update-mode aggregation):
     * `(source, n_rows, n_failed)` maintained incrementally.
     */

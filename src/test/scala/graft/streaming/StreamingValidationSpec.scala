@@ -299,4 +299,49 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(prog != null && prog.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming sessionization (session_window, append) ≡ batch Sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, ts, value); gaps avoid the exact 30s boundary,
+    // where session_window (exclusive end) and the batch op
+    // (strictly-greater) legitimately differ
+    // first micro-batch holds both users' early events (watermark delay 0:
+    // an early event arriving after a later one has advanced the watermark
+    // would be dropped as late — correct streaming semantics, wrong test)
+    val evRows = Seq(
+      (1L, 1L, t(0), 1.0), (2L, 1L, t(10), 2.0), (3L, 1L, t(25), 3.0),
+      (5L, 2L, t(5), 5.0),
+      (4L, 1L, t(70), 4.0),                    // 45s gap → new session
+      (6L, 2L, t(95), 6.0))                    // 90s gap → two sessions
+    val mem = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = StreamingValidation.sessionStream(
+        mem.toDF().toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "value", gap = "30 seconds", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sv_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(evRows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(evRows.drop(4): _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session end to flush them all
+      mem.addData((99L, 99L, t(10000), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sv_sessions")
+        .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+        .filter(_._1 != 99L)
+      val want = graft.ops.Sessions.sessionStats(
+          evRows.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", gapSeconds = 30L)
+        .select("user_id", "n_events", "start_ts", "end_ts", "sum_value_c")
+        .as[(Long, Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == want)
+      assert(want.size == 4, "expected two sessions per user")
+      // session state is bounded by OPEN sessions: after the flush the
+      // store holds only the watermark-unexpired flush session
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
 }
