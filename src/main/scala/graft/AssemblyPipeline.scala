@@ -59,7 +59,9 @@ object AssemblyPipeline {
       contaminationThreshold: Double = 0.5,
       sampleRates: Map[String, Double] = Map("src0" -> 0.5),
       defaultRate: Double = 0.25,
-      packBudget: Long = 2048L): StageCounts = {
+      packBudget: Long = 2048L,
+      mixShares: Option[Map[String, Double]] = None,
+      mixTokenBudget: Long = 0L): StageCounts = {
     val nInput = docs.count()
 
     // 1) validate; only passing rows continue (violations go to the
@@ -114,13 +116,33 @@ object AssemblyPipeline {
     require(nAfterDecon == nAfterNear - nBench - nContaminated,
       "decon must conserve rows: corpus minus eval slice minus contaminated")
 
-    // 5) deterministic stratified sample
-    val sampled = Pipeline.stratifiedSample(afterDecon, "doc_id", "source",
-      sampleRates, defaultRate)
+    // 5) deterministic stratified sample. With `mixShares` set, the
+    //    rates are not caller constants but COMPUTED from the
+    //    post-decon corpus by mixture weighting (target share of
+    //    `mixTokenBudget` per source, capped at one epoch since a
+    //    Bernoulli sample cannot repeat docs) — the production flow,
+    //    where the mixture spec is policy and the rates follow the data.
+    val withTok0 =
+      if (mixShares.isDefined)
+        stage(afterDecon.withColumn("n_tok", TextOps.tokenCount(col("text"))))
+      else afterDecon
+    val rates = mixShares match {
+      case Some(shares) =>
+        require(mixTokenBudget > 0, "mixShares needs a positive mixTokenBudget")
+        Pipeline.mixtureWeights(withTok0, "source", "n_tok",
+            shares, mixTokenBudget, maxEpochs = 1.0)
+          .select(col("source"), col("rate")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      case None => sampleRates
+    }
+    val sampled = Pipeline.stratifiedSample(withTok0, "doc_id", "source",
+      rates, if (mixShares.isDefined) 0.0 else defaultRate)
     val nSampled = sampled.count()
 
     // 6) sequence packing over the sample
-    val withTok = sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
+    val withTok =
+      if (mixShares.isDefined) sampled
+      else sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
     val packed = Pipeline.packSequences(withTok, "doc_id", "n_tok", "source",
       budget = packBudget, nShards = 8)
     val nPacked = packed.count()

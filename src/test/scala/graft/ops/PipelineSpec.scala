@@ -138,6 +138,30 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(c.nBins > 0 && c.nBins < c.nPacked)
   }
 
+  test("assembly pipeline with mixture weighting: sampled tokens track the target shares") {
+    val rows = 20000L
+    val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
+      .withColumn("source",
+        concat(lit("src"),
+          pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+    val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+    // ~17.5k docs survive to sampling, 24 words each → ~42k tokens/source;
+    // budget 60k over three named sources: rates land inside (0,1) for
+    // all three (src3's 30k target < its ~42k available), so no cap
+    // binds and the sample should hit the BUDGET itself
+    val shares = Map("src1" -> 0.25, "src2" -> 0.25, "src3" -> 0.5)
+    val budget = 60000L
+    val c = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+      mixShares = Some(shares), mixTokenBudget = budget)
+    assert(c.nPacked == c.nSampled)
+    // unnamed sources get share 0 → rate 0: the sample holds only the
+    // three named strata, and Σ sampled tokens ≈ budget (hash-gate
+    // variance at ~1.7k docs/stratum stays well inside 10%)
+    val sampledTokens = c.nSampled * 24.0
+    assert(math.abs(sampledTokens - budget) < budget * 0.10,
+      s"sampled tokens $sampledTokens vs budget $budget")
+  }
+
   // === packSequences ===
 
   private lazy val seqs = spark.range(300)
