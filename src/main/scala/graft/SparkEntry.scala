@@ -37,6 +37,12 @@ object SparkEntry {
   val MixShares: Map[String, Double] = Map("src0" -> 0.5, "src1" -> 0.25)
   val MixBudget: Long = 50000L
   val MixMaxEpochs: Double = 2.0
+
+  /** Epoch-sampling demo rates: src0 upsampled (2 full epochs + a
+    * hash-gated half), src1 fractional-only, everything else rate 0.
+    * Exact binary fractions keep the granule threshold engine-portable.
+    */
+  val EpochRates: Map[String, Double] = Map("src0" -> 2.5, "src1" -> 0.25)
   val DocSpecJson: String =
     s"""{
       "type": "object",
@@ -574,6 +580,11 @@ object SparkEntry {
     "mix_weights" -> ((s, dir) =>
       Pipeline.mixtureWeights(read(s, dir, "documents"), "source", "n_chars",
         MixShares, MixBudget, MixMaxEpochs)),
+
+    "samp_epochs" -> ((s, dir) =>
+      Pipeline.epochSample(read(s, dir, "documents"), "doc_id", "source",
+          EpochRates)
+        .select(col("doc_id"), col("source"), col("epoch"))),
 
     // === event analytics (gap sessionization) ===
     "evt_sessions" -> ((s, dir) =>
@@ -1231,6 +1242,22 @@ object SparkEntry {
                  * available_tokens::DOUBLE) AS BIGINT) AS expected_tokens
             FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available_tokens
                   FROM documents GROUP BY source)"""
+      },
+
+      "samp_epochs" -> {
+        val rateCase = "(CASE source " +
+          EpochRates.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
+          " ELSE 0.0 END)::DOUBLE"
+        // k = floor(rate) + (hash-gated fractional epoch); range(1, k+1)
+        // is empty at k=0, and unnest drops the row — same as the
+        // engine's explode of a null sequence
+        s"""SELECT doc_id, source, unnest(range(1, k + 1)) AS epoch
+            FROM (SELECT doc_id, source,
+                    CAST(floor($rateCase) AS BIGINT)
+                    + (CASE WHEN (${hFullSql("CAST(doc_id AS VARCHAR)")} % ${Pipeline.SampleGranularity})
+                            < CAST(round(($rateCase - floor($rateCase)) * ${Pipeline.SampleGranularity}) AS BIGINT)
+                       THEN 1 ELSE 0 END) AS k
+                  FROM documents)"""
       },
 
       "evt_sessions" ->

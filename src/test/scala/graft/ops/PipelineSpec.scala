@@ -225,6 +225,38 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("srcC", 123L, 0.0, 0.0, 0L)))
   }
 
+  // === epochSample ===
+
+  test("epochSample: multiplicity is floor(rate) plus the hash-gated fraction") {
+    val df = spark.range(4000).select(col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 2).cast("string")).as("source"))
+    // s0 upsampled 2.5×, s1 absent → rate 0
+    val out = Pipeline.epochSample(df, "doc_id", "source", Map("s0" -> 2.5))
+    val byDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // only s0 docs appear; each 2 or 3 times
+    assert(byDoc.keys.forall(_ % 2 == 0))
+    assert(byDoc.values.forall(c => c == 2L || c == 3L))
+    // expected multiplicity 2.5 → total within hash-gate variance
+    val total = byDoc.values.sum.toDouble
+    assert(math.abs(total - 2000 * 2.5) < 2000 * 2.5 * 0.05, s"total $total")
+    // epochs are 1..k per doc
+    val eps = out.where(col("doc_id") === byDoc.keys.head)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(eps == (1L to eps.length))
+  }
+
+  test("epochSample: fractional part nests with stratifiedSample's gate") {
+    val df = spark.range(1000).select(col("id").as("doc_id"), lit("s").as("source"))
+    // rate 1.25: every doc once, plus the SAME quarter stratifiedSample
+    // at 0.25 keeps gets a second epoch
+    val out = Pipeline.epochSample(df, "doc_id", "source", Map("s" -> 1.25))
+    val twice = out.groupBy("doc_id").count().where(col("count") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    val gate = Pipeline.stratifiedSample(df, "doc_id", "source", Map("s" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    assert(twice == gate)
+  }
+
   test("mixtureWeights: expected tokens sum to the budget when no cap binds") {
     val df = Seq(("a", "s0", 40000L), ("b", "s1", 60000L), ("c", "s2", 50000L))
       .toDF("doc_id", "source", "n_tok")
