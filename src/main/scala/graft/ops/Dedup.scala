@@ -94,10 +94,28 @@ object Dedup {
     */
   def exactWriteIndex(df: DataFrame, keyCol: String, textCol: String,
       path: String, nPartBuckets: Int = 256): Unit =
+    exactIndexRows(df, keyCol, textCol, nPartBuckets)
+      .write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+  /** Fold an accepted batch INTO an existing [[exactWriteIndex]] — the
+    * maintenance half of the daily-ingest loop (probe the batch, commit
+    * the survivors, append them so tomorrow's probe sees today's docs).
+    * Appends only the batch's rows into their fingerprint buckets; the
+    * corpus is never re-read. `nPartBuckets` MUST match the value the
+    * index was built with (bucket routing is `hash(fp) mod n` — a
+    * mismatch silently splits a fingerprint across buckets and probes
+    * miss it).
+    */
+  def exactAppendIndex(newBatch: DataFrame, keyCol: String, textCol: String,
+      path: String, nPartBuckets: Int = 256): Unit =
+    exactIndexRows(newBatch, keyCol, textCol, nPartBuckets)
+      .write.mode("append").partitionBy("_pb").parquet(path)
+
+  private def exactIndexRows(df: DataFrame, keyCol: String, textCol: String,
+      nPartBuckets: Int): DataFrame =
     df.select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
       .where(col("fp").isNotNull)
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
-      .write.mode("overwrite").partitionBy("_pb").parquet(path)
 
   /** Incremental exact dedup: drop-list rows of a NEW batch against the
     * existing corpus (via its [[exactWriteIndex]]) AND within the batch
@@ -281,6 +299,19 @@ object Dedup {
     bandRows(minhashSignature(df, keyCol, textCol, k), keyCol, k, rowsPerBand,
       nPartBuckets)
       .write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+  /** Fold an accepted batch INTO an existing [[minhashWriteIndex]] —
+    * same maintenance contract as [[exactAppendIndex]]: appends the
+    * batch's band rows into their buckets, corpus never re-read;
+    * `k`/`rowsPerBand`/`nPartBuckets` MUST match the build values
+    * (band hashing and bucket routing both depend on them).
+    */
+  def minhashAppendIndex(newBatch: DataFrame, keyCol: String, textCol: String,
+      path: String, k: Int = 8, rowsPerBand: Int = 2,
+      nPartBuckets: Int = 256): Unit =
+    bandRows(minhashSignature(newBatch, keyCol, textCol, k), keyCol, k,
+      rowsPerBand, nPartBuckets)
+      .write.mode("append").partitionBy("_pb").parquet(path)
 
   /** Incremental dedup: candidate pairs of a NEW batch against the
     * existing corpus (via its [[minhashWriteIndex]]) AND within the

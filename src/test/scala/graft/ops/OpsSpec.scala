@@ -808,6 +808,38 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("LeftSemi"), plan.take(2000))
   }
 
+  test("index append: day-2 probe sees day-1 docs folded into both index kinds") {
+    // day 0 corpus, day 1 batch appended, day 2 batch probes: its dups
+    // against day-0 AND day-1 members must surface — the full daily loop
+    val day0 = Seq(
+      (0L, "the cat sat on the mat and looked at the dog"),
+      (2L, "an old singleton that matches nothing else here")
+    ).toDF("doc_id", "text")
+    val day1 = Seq(
+      (11L, "a brand new day one document about spark windows")
+    ).toDF("doc_id", "text")
+    val day2 = Seq(
+      (21L, "the cat sat on the mat and looked at the dog"),   // dup of day-0 #0
+      (22L, "a brand new day one document about spark windows"), // dup of day-1 #11
+      (23L, "a day two singleton unlike anything previous")
+    ).toDF("doc_id", "text")
+
+    val fpIdx = java.nio.file.Files.createTempDirectory("graft_fp_app").toString
+    Dedup.exactWriteIndex(day0, "doc_id", "text", fpIdx)
+    Dedup.exactAppendIndex(day1, "doc_id", "text", fpIdx)
+    val gotExact = Dedup.exactIncrementalDuplicates(spark, fpIdx, day2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotExact == Set((21L, 0L), (22L, 11L)))
+
+    val mhIdx = java.nio.file.Files.createTempDirectory("graft_mh_app").toString
+    Dedup.minhashWriteIndex(day0, "doc_id", "text", mhIdx)
+    Dedup.minhashAppendIndex(day1, "doc_id", "text", mhIdx)
+    val gotPairs = Dedup.minhashIncrementalPairs(spark, mhIdx, day2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pairs are (a < b); both cross-day dups must appear
+    assert(gotPairs.contains((0L, 21L)) && gotPairs.contains((11L, 22L)), gotPairs.toString)
+  }
+
   test("repetitionFeatures: null text nulls out (no misleading n_grams=1)") {
     val rows = Seq((0L, "a b c d e"), (1L, null)).toDF("doc_id", "text")
     val got = TextOps.repetitionFeatures(rows, "doc_id", "text").collect()
