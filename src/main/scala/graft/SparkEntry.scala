@@ -1233,13 +1233,17 @@ object SparkEntry {
           MixShares.map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") +
           " ELSE 0.0 END)::DOUBLE"
         // operation ORDER mirrors the Scala impl exactly —
-        // (budget * share) / available — so the doubles are bit-equal
+        // (budget * share) / available — so the doubles are bit-equal;
+        // the no-tokens guard (rate 0 for a null/zero stratum) is
+        // mirrored too, though the demo table never exercises it
+        val rateSql = s"""(CASE WHEN available_tokens IS NULL OR available_tokens = 0
+              THEN 0.0::DOUBLE
+              ELSE LEAST(${MixMaxEpochs}::DOUBLE,
+                   (${MixBudget}.0::DOUBLE * $shareCase) / available_tokens::DOUBLE) END)"""
         s"""SELECT source, available_tokens, $shareCase AS target_share,
-            LEAST(${MixMaxEpochs}::DOUBLE,
-                  (${MixBudget}.0::DOUBLE * $shareCase) / available_tokens::DOUBLE) AS rate,
-            CAST(round(LEAST(${MixMaxEpochs}::DOUBLE,
-                  (${MixBudget}.0::DOUBLE * $shareCase) / available_tokens::DOUBLE)
-                 * available_tokens::DOUBLE) AS BIGINT) AS expected_tokens
+            $rateSql AS rate,
+            CAST(round($rateSql * COALESCE(available_tokens, 0)::DOUBLE) AS BIGINT)
+              AS expected_tokens
             FROM (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available_tokens
                   FROM documents GROUP BY source)"""
       },

@@ -162,10 +162,17 @@ object Pipeline {
       .agg(sum(col(tokCol).cast("long")).as("available_tokens"))
       .select(col(strataCol), col("available_tokens"),
         share.as("target_share"),
-        least(lit(maxEpochs),
-          lit(budget.toDouble) * share / col("available_tokens").cast("double"))
+        // a stratum with no countable tokens (all-null or zero) must get
+        // rate 0, not maxEpochs — both Spark and DuckDB skip nulls in
+        // least(), and x/0.0 is Inf, so an unguarded least() would
+        // CLAMP both degenerate cases to the cap
+        when(col("available_tokens").isNull || col("available_tokens") === 0L,
+            lit(0.0))
+          .otherwise(least(lit(maxEpochs),
+            lit(budget.toDouble) * share / col("available_tokens").cast("double")))
           .as("rate"))
       .withColumn("expected_tokens",
-        round(col("rate") * col("available_tokens").cast("double")).cast("long"))
+        round(col("rate") *
+          coalesce(col("available_tokens"), lit(0L)).cast("double")).cast("long"))
   }
 }

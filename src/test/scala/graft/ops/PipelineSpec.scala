@@ -225,6 +225,20 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ("srcC", 123L, 0.0, 0.0, 0L)))
   }
 
+  test("mixtureWeights: a stratum with no countable tokens gets rate 0, not the cap") {
+    val df = Seq(("a", "sNull", None: Option[Long]), ("b", "sZero", Some(0L)),
+      ("c", "sOk", Some(100L)))
+      .toDF("doc_id", "source", "n_tok")
+    val out = Pipeline.mixtureWeights(df, "source", "n_tok",
+        Map("sNull" -> 0.5, "sZero" -> 0.3, "sOk" -> 0.2), budget = 100L)
+      .as[(String, Option[Long], Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // unguarded, least() would skip the null / clamp the Inf to maxEpochs
+    assert(out("sNull")._4 == 0.0 && out("sNull")._5 == 0L)
+    assert(out("sZero")._4 == 0.0 && out("sZero")._5 == 0L)
+    assert(out("sOk")._4 == 0.2 && out("sOk")._5 == 20L)
+  }
+
   // === epochSample ===
 
   test("epochSample: multiplicity is floor(rate) plus the hash-gated fraction") {
