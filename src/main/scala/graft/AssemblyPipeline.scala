@@ -129,10 +129,17 @@ object AssemblyPipeline {
     val rates = mixShares match {
       case Some(shares) =>
         require(mixTokenBudget > 0, "mixShares needs a positive mixTokenBudget")
-        Pipeline.mixtureWeights(withTok0, "source", "n_tok",
+        val computed = Pipeline.mixtureWeights(withTok0, "source", "n_tok",
             shares, mixTokenBudget, maxEpochs = 1.0)
           .select(col("source"), col("rate")).collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // a share key with no corpus rows yields no rate row, and its
+        // budget slice would silently go unspent — a policy typo, not a
+        // sampling decision, so fail loudly
+        val missing = shares.keySet -- computed.keySet
+        require(missing.isEmpty,
+          s"mixShares name strata absent from the corpus: ${missing.mkString(", ")}")
+        computed
       case None => sampleRates
     }
     val sampled = Pipeline.stratifiedSample(withTok0, "doc_id", "source",

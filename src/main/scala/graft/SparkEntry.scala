@@ -1254,14 +1254,17 @@ object SparkEntry {
           " ELSE 0.0 END)::DOUBLE"
         // k = floor(rate) + (hash-gated fractional epoch); range(1, k+1)
         // is empty at k=0, and unnest drops the row — same as the
-        // engine's explode of a null sequence
+        // engine's explode of a null sequence. Null keys are excluded on
+        // both sides (the engine filters them; a null hash gate would
+        // otherwise zero the fractional epoch here but keep the full
+        // ones — a latent differential)
         s"""SELECT doc_id, source, unnest(range(1, k + 1)) AS epoch
             FROM (SELECT doc_id, source,
                     CAST(floor($rateCase) AS BIGINT)
                     + (CASE WHEN (${hFullSql("CAST(doc_id AS VARCHAR)")} % ${Pipeline.SampleGranularity})
                             < CAST(round(($rateCase - floor($rateCase)) * ${Pipeline.SampleGranularity}) AS BIGINT)
                        THEN 1 ELSE 0 END) AS k
-                  FROM documents)"""
+                  FROM documents WHERE doc_id IS NOT NULL)"""
       },
 
       "evt_sessions" ->

@@ -102,6 +102,44 @@ object Pipeline {
           .cast("long").as("bin_id"))
   }
 
+  /** Materialize a sample at rates that may EXCEED 1 (upsampling — the
+    * output of [[mixtureWeights]] when a scarce domain's target share
+    * needs repetition): every doc of a stratum with rate r appears
+    * `floor(r)` times for sure, plus once more for the hash-gated
+    * fraction `r - floor(r)` of docs — so the expected multiplicity is
+    * exactly r, deterministically (same key ⇒ same epochs, every run,
+    * any partitioning), and the fractional sample obeys the same
+    * nesting property as [[stratifiedSample]]. Output = input columns +
+    * `epoch` (1-based; a doc kept k times carries epochs 1..k, so
+    * downstream packing can salt sequence order by epoch).
+    *
+    * Scan-side only: the epoch count is a per-row expression and the
+    * repetition is one `explode` of a `sequence` — no shuffle, no join,
+    * rows expand by at most `ceil(max rate)`.
+    *
+    * Null keys are EXCLUDED (same contract as [[stratifiedSample]],
+    * where the null hash gate drops them): a null key has no stable
+    * identity to gate on, so it gets no epochs — filtered explicitly
+    * here so the engine and any SQL oracle agree by construction.
+    */
+  def epochSample(df: DataFrame, keyCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(_ >= 0.0), "rates must be non-negative")
+    val rate = coalesce(element_at(typedlit(rates), col(strataCol)), lit(0.0))
+    val full = floor(rate).cast("long")
+    val frac = rate - floor(rate)
+    val bucket = pmod(TextOps.portableHash(col(keyCol).cast("string")),
+      lit(SampleGranularity))
+    val epochs = full +
+      (bucket < round(frac * SampleGranularity).cast("long")).cast("long")
+    // sequence(1, 0) would DESCEND ([1, 0]), so zero-epoch rows must map
+    // to null, which explode drops — rate-0 strata and un-gated
+    // fractional docs vanish without a separate filter
+    df.where(col(keyCol).isNotNull)
+      .withColumn("epoch",
+        explode(when(epochs > 0L, sequence(lit(1L), epochs))))
+  }
+
   /** Mixture weighting: turn target mixture shares into per-stratum
     * sampling rates. Given a global token `budget` and each stratum's
     * target share of it, the rate that hits the target is
@@ -118,39 +156,13 @@ object Pipeline {
     * [[stratifiedSample]] directly; rates above 1 split into one full
     * epoch plus a fractional sample of the remainder. Strata absent
     * from `shares` get share 0 → rate 0 (excluded from the mixture).
-    */
-  /** Materialize a sample at rates that may EXCEED 1 (upsampling — the
-    * output of [[mixtureWeights]] when a scarce domain's target share
-    * needs repetition): every doc of a stratum with rate r appears
-    * `floor(r)` times for sure, plus once more for the hash-gated
-    * fraction `r - floor(r)` of docs — so the expected multiplicity is
-    * exactly r, deterministically (same key ⇒ same epochs, every run,
-    * any partitioning), and the fractional sample obeys the same
-    * nesting property as [[stratifiedSample]]. Output = input columns +
-    * `epoch` (1-based; a doc kept k times carries epochs 1..k, so
-    * downstream packing can salt sequence order by epoch).
     *
-    * Scan-side only: the epoch count is a per-row expression and the
-    * repetition is one `explode` of a `sequence` — no shuffle, no join,
-    * rows expand by at most `ceil(max rate)`.
+    * Output rows exist only for strata PRESENT in the corpus: a `shares`
+    * key that matches no rows (a typo, or an empty source) produces no
+    * row here, and its slice of the budget silently goes unspent —
+    * callers turning the output into policy should check coverage, as
+    * [[graft.AssemblyPipeline]] does with a require on the rate map.
     */
-  def epochSample(df: DataFrame, keyCol: String, strataCol: String,
-      rates: Map[String, Double]): DataFrame = {
-    require(rates.values.forall(_ >= 0.0), "rates must be non-negative")
-    val rate = coalesce(element_at(typedlit(rates), col(strataCol)), lit(0.0))
-    val full = floor(rate).cast("long")
-    val frac = rate - floor(rate)
-    val bucket = pmod(TextOps.portableHash(col(keyCol).cast("string")),
-      lit(SampleGranularity))
-    val epochs = full +
-      (bucket < round(frac * SampleGranularity).cast("long")).cast("long")
-    // sequence(1, 0) would DESCEND ([1, 0]), so zero-epoch rows must map
-    // to null, which explode drops — rate-0 strata and un-gated
-    // fractional docs vanish without a separate filter
-    df.withColumn("epoch",
-      explode(when(epochs > 0L, sequence(lit(1L), epochs))))
-  }
-
   def mixtureWeights(df: DataFrame, strataCol: String, tokCol: String,
       shares: Map[String, Double], budget: Long,
       maxEpochs: Double = 4.0): DataFrame = {
