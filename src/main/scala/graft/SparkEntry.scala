@@ -549,6 +549,12 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(read(s, dir, "documents"), "doc_id", "text", 0.1)),
 
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.segmentStats(read(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_seg_rewrite" -> ((s, dir) =>
+      Dedup.dropDuplicateSegments(read(s, dir, "documents"), "doc_id", "text")),
+
     "dedup_embed_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"), "vec_id", "embedding",
         "label", 0.25)),
@@ -1312,6 +1318,42 @@ object SparkEntry {
                   GROUP BY 1, 2, 3, 4)
             SELECT a, b, round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
             FROM p WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.1""",
+
+      // segments = non-overlapping 8-word chunks (the engine's default
+      // width); the engine keys the occurrence window on md5(seg), the
+      // oracle on seg itself — identical equality semantics
+      "dedup_segments" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+              SELECT doc_id, unnest(list_transform(range(0, ((len(w)-1) // 8) + 1),
+                i -> {'pos': i, 'seg': array_to_string(list_slice(w, i*8+1, i*8+8), ' ')})) AS u
+              FROM t)),
+            c AS (SELECT doc_id, count(*) OVER (PARTITION BY seg) AS c FROM segs)
+            SELECT doc_id, count(*) AS n_segments,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+                   round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_seg_ratio
+            FROM c GROUP BY doc_id""",
+
+      // first occurrence = min (doc_id, pos) per segment content; the
+      // engine computes it as min(struct) (no sort), the oracle as
+      // row_number ordered by the same key — identical on non-null keys
+      "dedup_seg_rewrite" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            segs AS (SELECT doc_id, u.pos AS pos, u.seg AS seg FROM (
+              SELECT doc_id, unnest(list_transform(range(0, ((len(w)-1) // 8) + 1),
+                i -> {'pos': i, 'seg': array_to_string(list_slice(w, i*8+1, i*8+8), ' ')})) AS u
+              FROM t)),
+            c AS (SELECT doc_id, pos, seg,
+                    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+                  FROM segs)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '') AS text,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM c GROUP BY doc_id""",
 
       "dedup_embed_pairs" ->
         """SELECT x.vec_id AS a, y.vec_id AS b,

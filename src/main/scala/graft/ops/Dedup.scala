@@ -474,6 +474,101 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** One row per (doc, position) segment, shared by [[segmentStats]] and
+    * [[dropDuplicateSegments]]. A segment is a non-overlapping chunk of
+    * `width` consecutive words (the corpus-agnostic analog of a "line":
+    * CCNet/RefinedWeb-style line dedup splits on newlines, which this
+    * corpus's single-space convention lacks; a fixed word window gives
+    * the same cross-document granularity deterministically). The last
+    * chunk may be shorter. Built scan-side from ONE tokenization — the
+    * word array is materialized as its own non-cheap multi-referenced
+    * alias so CollapseProject cannot inline a split() per reference —
+    * then posexploded; no shuffle until the caller keys on content.
+    *
+    * Null keys/text are excluded (dedup_canonical convention: a null key
+    * has no first-occurrence identity, and engines order SQL NULLs
+    * differently, so keeping them would be oracle-fragile).
+    */
+  private def segmentRows(df: DataFrame, keyCol: String, textCol: String,
+      width: Int): DataFrame = {
+    require(width > 0, s"segment width must be positive, got $width")
+    df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("id"), words(col(textCol)).as("_w"))
+      .select(col("id"), posexplode(transform(
+        // Column `/` is double division; size >= 1 so the cast's
+        // truncation IS floor division here
+        sequence(lit(0), ((size(col("_w")) - 1) / width).cast("int")),
+        i => array_join(slice(col("_w"), i * width + 1, lit(width)), " "))))
+      .toDF("id", "pos", "seg")
+  }
+
+  /** Per-document segment-duplication profile: `n_segments` chunk count,
+    * `n_dup_segments` chunks whose content occurs MORE THAN ONCE in the
+    * whole corpus (within-doc repeats count), and their ratio. The
+    * corpus-level companion of [[graft.ops.TextOps.repetitionFeatures]]
+    * (which is intra-doc only) and the measurement half of
+    * [[dropDuplicateSegments]] — run it first to decide whether segment
+    * dedup is worth a rewrite pass.
+    *
+    * Scale shape: one corpus scan → segment explode (rows × ~words/width),
+    * one shuffle on the 16-byte segment fingerprint for the occurrence
+    * window, one hash re-aggregation by doc key. The md5 fingerprint
+    * (not an 8-byte hash) keys the shuffle: a collision here MISCOUNTS
+    * duplication, and at 10^12 segments 64-bit birthday collisions are
+    * expected — same argument as [[exactDuplicates]].
+    */
+  def segmentStats(df: DataFrame, keyCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    segmentRows(df, keyCol, textCol, width)
+      .select(col("id"), md5(col("seg").cast("binary")).as("_h"))
+      .select(col("id"), count(lit(1)).over(w).as("_c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+      .withColumn("dup_seg_ratio",
+        round(col("n_dup_segments").cast("double") / col("n_segments"), 6))
+      .withColumnRenamed("id", keyCol)
+  }
+
+  /** Corpus-level segment dedup (the line-dedup pipeline stage): every
+    * duplicated segment survives exactly ONCE, at its globally-first
+    * occurrence (minimum `(key, position)` — deterministic and
+    * partitioning-invariant), and each document's text is rebuilt from
+    * its surviving segments in original order. A fully-deduplicated
+    * document comes back with empty text and `n_kept = 0` (kept as a
+    * row: dropping it is a downstream quality-filter decision, same as
+    * CCNet's empty-after-line-dedup docs).
+    *
+    * Scale shape: one corpus scan → segment explode, ONE shuffle on the
+    * segment md5 for the first-occurrence window (`min(struct(key,pos))`
+    * — an O(1) agg per partition, no sort-based row_number), one
+    * re-aggregation by doc key whose `collect_list` is bounded by the
+    * document's own segment count (never corpus-sized). Output:
+    * `(key, text, n_segments, n_kept)`.
+    */
+  def dropDuplicateSegments(df: DataFrame, keyCol: String, textCol: String,
+      width: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val occ = struct(col("id"), col("pos"))
+    segmentRows(df, keyCol, textCol, width)
+      .select(col("id"), col("pos"), col("seg"),
+        md5(col("seg").cast("binary")).as("_h"))
+      .withColumn("_first", min(occ).over(w))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(occ === col("_first"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the nulls the `when` leaves for dropped
+        // occurrences; array_sort on (pos, seg) structs restores
+        // document order (pos is unique per doc)
+        array_join(transform(array_sort(collect_list(
+            when(occ === col("_first"), struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text"))
+      .withColumnRenamed("id", keyCol)
+      .select(col(keyCol), col("text"), col("n_segments"), col("n_kept"))
+  }
+
   /** Resolve candidate pairs into duplicate clusters: connected
     * components over the pair graph, labeling every member with the
     * component's minimum key (`cluster_id`). This is the step after LSH /

@@ -904,4 +904,46 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
+
+  private lazy val segDocs = Seq(
+    // width 3 → segments: doc 10 = [A, B], doc 11 = [B, C],
+    // doc 12 = one short chunk, doc 13 = [A, A] (within-doc repeat of a
+    // segment whose first occurrence belongs to doc 10)
+    (10L, "a1 a2 a3 b1 b2 b3"),
+    (11L, "b1 b2 b3 c1 c2 c3"),
+    (12L, "d1 d2"),
+    (13L, "a1 a2 a3 a1 a2 a3")
+  ).toDF("doc_id", "text")
+
+  test("segmentStats: corpus-wide occurrence counts, within-doc repeats included") {
+    val stats = Dedup.segmentStats(segDocs, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(10L) == ((2L, 2L))) // A appears 3x corpus-wide, B 2x
+    assert(stats(11L) == ((2L, 1L))) // B duplicated, C unique
+    assert(stats(12L) == ((1L, 0L))) // short last chunk still counts
+    assert(stats(13L) == ((2L, 2L))) // both its A occurrences duplicated
+  }
+
+  test("dropDuplicateSegments: global first occurrence survives, docs rebuilt in order") {
+    val rw = Dedup.dropDuplicateSegments(segDocs, "doc_id", "text", width = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rw(10L) == (("a1 a2 a3 b1 b2 b3", 2L, 2L))) // owns both first occurrences
+    assert(rw(11L) == (("c1 c2 c3", 2L, 1L)))          // B deduped away
+    assert(rw(12L) == (("d1 d2", 1L, 1L)))
+    assert(rw(13L) == (("", 2L, 0L)))                  // fully deduplicated, row kept
+  }
+
+  test("dropDuplicateSegments: partitioning-invariant, null keys/text excluded") {
+    val withNulls = segDocs.union(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(null, "a1 a2 a3"), Row(14L, null))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))))
+    def run(parts: Int) =
+      Dedup.dropDuplicateSegments(withNulls.repartition(parts), "doc_id", "text", width = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val one = run(1)
+    assert(one == run(7), "first-occurrence choice must not depend on partitioning")
+    assert(one.map(_._1) == Set(10L, 11L, 12L, 13L), "null key/text rows are excluded")
+  }
 }
