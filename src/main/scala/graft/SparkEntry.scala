@@ -597,6 +597,12 @@ object SparkEntry {
       Sessions.sessionStats(read(s, dir, "events"), "user_id", "ts",
         "event_id", "value", gapSeconds = 1800L)),
 
+    // hot-key scale path; bucket = 1h so sessions genuinely straddle
+    // bucket boundaries at this gap — same oracle as evt_sessions
+    "evt_sessions_bucketed" -> ((s, dir) =>
+      Sessions.sessionStatsBucketed(read(s, dir, "events"), "user_id", "ts",
+        "event_id", "value", gapSeconds = 1800L, bucketSeconds = 3600L)),
+
     // === text analysis ===
     "txt_tokens" -> ((s, dir) =>
       read(s, dir, "documents").select(col("doc_id"),
@@ -1272,6 +1278,24 @@ object SparkEntry {
                        THEN 1 ELSE 0 END) AS k
                   FROM documents WHERE doc_id IS NOT NULL)"""
       },
+
+      // the bucketed engine path must be indistinguishable from the
+      // event-level definition, so both keys share one oracle
+      "evt_sessions_bucketed" ->
+        """SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+           FROM (SELECT user_id, ts, value,
+                   CAST(sum(CASE WHEN prev IS NULL
+                            OR (CAST(floor(epoch(ts)) AS BIGINT)
+                                - CAST(floor(epoch(prev)) AS BIGINT)) > 1800
+                       THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                 FROM (SELECT user_id, ts, event_id, value,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events))
+           GROUP BY 1, 2""",
 
       "evt_sessions" ->
         """SELECT user_id, session_seq, count(*) AS n_events,

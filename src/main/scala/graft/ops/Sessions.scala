@@ -52,4 +52,70 @@ object Sessions {
         min(col(tsCol)).as("start_ts"),
         max(col(tsCol)).as("end_ts"),
         sum(round(col(valueCol) * 100).cast("long")).as("sum_value_c"))
+
+  /** [[sessionStats]] in two levels for MACHINE-HOT keys — the scale
+    * path [[sessionize]]'s docs point to when one entity's event count
+    * exceeds what a single window partition should sort (measured: a
+    * 10M-event single-user partition works at 20M rows under a 20 GB
+    * heap, but is a straight-line single-task latency/spill cliff at
+    * 100×).
+    *
+    * Level 1 sessionizes within `(entity, floor(ts / bucketSeconds))`
+    * partitions — the hot key's sort is bounded by its events per
+    * bucket — and collapses each local run to a compact stub
+    * `(n_events, start_ts, end_ts, sum_value_c)`. Level 2 gap-merges
+    * the stubs per entity: stubs are time-disjoint intervals in start
+    * order, so the event-level criterion reduces exactly to
+    * `start_ts − prev_end_ts > gap` over stubs (two stubs of one bucket
+    * never merge — their boundary gap exceeded the threshold by
+    * construction; a cross-bucket pair merges iff its boundary EVENTS
+    * would, because the stub endpoints ARE those events' timestamps;
+    * chains spanning many buckets fold via the same running sum of
+    * merge starts). Output ≡ [[sessionStats]] row-for-row (asserted by
+    * a SessionsSpec differential and the shared `evt_sessions` oracle).
+    *
+    * Cost: one extra exchange (stubs by entity) over [[sessionStats]] —
+    * but the per-entity partition now holds session STUBS (5 narrow
+    * columns, one row per local session) instead of raw events. Size
+    * `bucketSeconds` ≥ `gapSeconds` so most sessions stay within one
+    * bucket and the stub count stays near the true session count.
+    */
+  def sessionStatsBucketed(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, valueCol: String, gapSeconds: Long = 1800L,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val wLocal = Window.partitionBy(col(entityCol), col("_bkt"))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val prev = lag(col(tsCol), 1).over(wLocal)
+    val isStart: Column = prev.isNull ||
+      (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > gapSeconds
+    // level 1: local sessions inside (entity, bucket); the groupBy keys
+    // are clustered by the window's exchange, so collapsing runs to
+    // stubs adds no shuffle
+    val stubs = events
+      .withColumn("_bkt", floor(unix_timestamp(col(tsCol)) / bucketSeconds))
+      .withColumn("_lseq", sum(isStart.cast("long")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("_bkt"), col("_lseq"))
+      .agg(count(lit(1L)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        sum(round(col(valueCol) * 100).cast("long")).as("sum_value_c"))
+    // level 2: gap-merge stubs per entity. start_ts is unique per entity
+    // (same-ts events share a bucket and, at gap 0 <= gapSeconds, a
+    // local session), so the order is total and deterministic.
+    val wEnt = Window.partitionBy(col(entityCol)).orderBy(col("start_ts").asc)
+    val prevEnd = lag(col("end_ts"), 1).over(wEnt)
+    val mergeStart: Column = prevEnd.isNull ||
+      (unix_timestamp(col("start_ts")) - unix_timestamp(prevEnd)) > gapSeconds
+    stubs
+      .withColumn("session_seq", sum(mergeStart.cast("long")).over(
+        wEnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("session_seq"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_ts")).as("start_ts"),
+        max(col("end_ts")).as("end_ts"),
+        sum(col("sum_value_c")).as("sum_value_c"))
+  }
 }

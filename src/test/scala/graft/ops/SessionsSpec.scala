@@ -45,6 +45,43 @@ class SessionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "grouping on (user_id, session_seq) must reuse the window's hash(user_id) partitioning")
   }
 
+  test("sessionStatsBucketed ≡ sessionStats across bucket widths (random corpus)") {
+    // random events: a few human-scale users plus one hot machine key
+    // whose sessions straddle many bucket boundaries
+    val rnd = new scala.util.Random(41)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (0 until 4000).map { i =>
+      val user = if (i % 4 == 0) 999L else (i % 7).toLong
+      // jumps frequently exceed the gap; same-second ties occur
+      val t = new Timestamp(base + rnd.nextInt(400000) * 1000L)
+      (i.toLong, user, t, rnd.nextInt(100) / 10.0)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val want = Sessions.sessionStats(df, "user_id", "ts", "event_id", "value")
+      .collect().map(_.toSeq).toSet
+    // bucket far below, at, and far above the gap — including widths
+    // where whole buckets are empty between a session's events
+    for (bucket <- Seq(600L, 1800L, 3600L, 86400L)) {
+      val got = Sessions.sessionStatsBucketed(df, "user_id", "ts", "event_id", "value",
+        gapSeconds = 1800L, bucketSeconds = bucket)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"bucketSeconds=$bucket diverged from sessionStats")
+    }
+  }
+
+  test("sessionStatsBucketed: level-2 partition holds stubs, not events") {
+    // one entity, 100 events in one long session spanning 10 buckets:
+    // level 1 must emit ~10 stubs that level 2 merges back into one row
+    val rows = (0 until 100).map { i =>
+      (i.toLong, 1L, new Timestamp(ts("2024-01-01 00:00:00").getTime + i * 60000L), 0.0)
+    }
+    val out = Sessions.sessionStatsBucketed(rows.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", gapSeconds = 1800L, bucketSeconds = 600L)
+      .as[(Long, Long, Long, Timestamp, Timestamp, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L, 100L,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 01:39:00"), 0L)))
+  }
+
   test("sessionize: same-timestamp ties are ordered by event id deterministically") {
     val tied = Seq(
       (2L, 9L, ts("2024-01-01 10:00:00"), 0.0),
