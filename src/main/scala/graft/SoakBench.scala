@@ -86,6 +86,12 @@ object SoakBench {
     (sec, out, peak.get() / (1024 * 1024))
   }
 
+  /** The `sessions` stage materializes the event corpus here; the
+    * `sessions_bucketed` stage re-reads it so both time the same input.
+    */
+  private def soakEventsPath(rows: Long): String =
+    s"/tmp/graft_soak_events_$rows"
+
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROWS", "20000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -296,7 +302,7 @@ object SoakBench {
         timestamp_seconds(lit(1700000000L) + k * 1200L +
           floor(k / lit(3.0)).cast("long") * 3600L).as("ts"),
         (pmod(col("id"), lit(100L)).cast("double") / 10.0).as("value"))
-      val path = s"/tmp/graft_soak_events_$rows"
+      val path = soakEventsPath(rows)
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
         ev.write.mode("overwrite").parquet(path)
       val sess = graft.ops.Sessions.sessionStats(
@@ -304,6 +310,24 @@ object SoakBench {
       val agg = sess.agg(count(lit(1L)), sum(col("n_events"))).collect()(0)
       require(agg.getLong(1) == rows,
         s"session event conservation broken: ${agg.getLong(1)} != $rows")
+      agg.getLong(0)
+    }
+    run("sessions_bucketed") {
+      // the two-level hot-key path over the SAME cached event corpus and
+      // the same exact-arithmetic expectations as `sessions`: user 0's
+      // 10M-event sort is now split across day buckets (~60 events each
+      // at 1200-4800 s spacing), and the per-entity level-2 sort sees
+      // ~3.47M narrow session stubs (sessions + a stub per straddled
+      // bucket boundary) instead of 10M raw events.
+      val path = soakEventsPath(rows)
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+        s"run the `sessions` stage first to materialize $path")
+      val sess = graft.ops.Sessions.sessionStatsBucketed(
+        spark.read.parquet(path), "user_id", "ts", "event_id", "value",
+        gapSeconds = 1800L, bucketSeconds = 86400L)
+      val agg = sess.agg(count(lit(1L)), sum(col("n_events"))).collect()(0)
+      require(agg.getLong(1) == rows,
+        s"bucketed session event conservation broken: ${agg.getLong(1)} != $rows")
       agg.getLong(0)
     }
 
