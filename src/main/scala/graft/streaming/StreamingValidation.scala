@@ -44,6 +44,82 @@ object StreamingValidation {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming near-duplicate INGEST — the daily-ingest loop as a
+    * continuous query. Per micro-batch: probe the materialized minhash
+    * band index ([[graft.ops.Dedup.minhashIncrementalPairs]]) for
+    * near-dups of the arriving docs against EVERYTHING ACCEPTED SO FAR
+    * and within the batch, drop the non-survivors, fold the survivors'
+    * bands into the index ([[graft.ops.Dedup.minhashAppendIndex]]), and
+    * hand `(accepted, dropped, batchId)` to `sink`. A doc is dropped if
+    * a near-dup partner is already in the corpus (the corpus is
+    * immutable, so old wins regardless of key order) or is a
+    * smaller-keyed doc of the same batch — greedy first-accepted-wins,
+    * the standard online-dedup policy (an offline pipeline wanting
+    * cluster-canonical survivors runs connectedComponents + canonical
+    * instead). Keys are assumed globally unique across the stream.
+    *
+    * State story: the QUERY carries zero state-store state (asserted by
+    * StreamingValidationSpec) — the index on storage IS the state, it
+    * grows only with accepted docs, and each batch reads only its
+    * partition-pruned band buckets, never the corpus. The micro-batch
+    * and the drop-list are localCheckpoint'd so (a) the source batch is
+    * scanned once across probe/filter/append, and (b) nothing re-reads
+    * the index AFTER the append (a lazy plan would otherwise see its
+    * own batch's bands and self-flag); every block the closure pins is
+    * freed before it returns, so executor storage does not grow with
+    * stream lifetime.
+    */
+  def dedupIngestStream(stream: DataFrame, keyCol: String, textCol: String,
+      indexPath: String, k: Int = 8, rowsPerBand: Int = 2,
+      maxBucket: Int = 2000, nPartBuckets: Int = 256)(
+      sink: (DataFrame, DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ops.Dedup
+      val spark = batch.sparkSession
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet
+      try {
+        val b = batch.localCheckpoint()
+        val pairs =
+          if (indexNonEmpty(spark, indexPath))
+            Dedup.minhashIncrementalPairs(spark, indexPath, b, keyCol, textCol,
+              k, rowsPerBand, maxBucket, nPartBuckets)
+          else // first batch bootstraps the index: within-batch pairs only
+            Dedup.minhashCandidatePairs(
+              Dedup.minhashSignature(b, keyCol, textCol, k), keyCol, k,
+              rowsPerBand, maxBucket)
+        val keys = b.select(col(keyCol).as("_k")).distinct()
+        // (doc, partner) in both orientations, restricted to batch docs
+        val cand = pairs.select(col("a").as("_x"), col("b").as("_y"))
+          .union(pairs.select(col("b").as("_x"), col("a").as("_y")))
+          .join(keys.withColumnRenamed("_k", "_x"), Seq("_x"), "left_semi")
+        val dropIds = cand
+          .join(keys.select(col("_k").as("_y"), lit(true).as("_pn")), Seq("_y"), "left")
+          .where(col("_pn").isNull || col("_y") < col("_x"))
+          .select(col("_x").as(keyCol)).distinct()
+          .localCheckpoint() // materialized BEFORE the index append below
+        val accepted = b.join(dropIds, Seq(keyCol), "left_anti")
+        val dropped = b.join(dropIds, Seq(keyCol), "left_semi")
+        Dedup.minhashAppendIndex(accepted, keyCol, textCol, indexPath, k,
+          rowsPerBand, nPartBuckets)
+        sink(accepted, dropped, batchId)
+      } finally {
+        (sc.getPersistentRDDs.keySet -- pinnedBefore)
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+    }
+
+  /** True iff `path` already holds index bucket directories (Hadoop FS,
+    * so any cluster storage scheme works).
+    */
+  private def indexNonEmpty(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("_pb="))
+  }
+
   /** Streaming decontamination, bounded-state DEFAULT: run the batch
     * operator ([[graft.ops.Dedup.contaminationScores]]) once per
     * micro-batch via `foreachBatch`. A doc's shingles all arrive WITH

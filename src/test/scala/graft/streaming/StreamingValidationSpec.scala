@@ -224,6 +224,49 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest: greedy online dedup against the growing index, zero query state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts are DETERMINISTIC near-dups (equal signatures →
+    // every band matches); distinct texts share no shingles
+    val A = "the quick brown fox jumps over the lazy dog near the river bank"
+    val B = "spark shuffles partition data across executors during wide transformations"
+    val C = "tokenizers split documents into subword units for model training"
+    val D = "watermarks bound event time state in streaming aggregations cleanly"
+    val idx = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/idx"
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val drp = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingValidation.dedupIngestStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx) {
+        (accepted, dropped, _) =>
+          acc.synchronized { acc ++= accepted.select("doc_id").as[Long].collect() }
+          drp.synchronized { drp ++= dropped.select("doc_id").as[Long].collect() }
+      }.start()
+    try {
+      mem.addData((0L, A), (1L, A), (2L, B)) // within-batch dup: 1 loses to 0
+      q.processAllAvailable()
+      mem.addData((3L, A), (4L, C), (5L, C)) // 3 dups CORPUS doc 0; 5 loses to 4
+      q.processAllAvailable()
+      mem.addData((6L, B), (7L, D))          // 6 dups corpus doc 2 from batch 1
+      q.processAllAvailable()
+      assert(acc.synchronized(acc.toSet) == Set(0L, 2L, 4L, 7L))
+      assert(drp.synchronized(drp.toSet) == Set(1L, 3L, 5L, 6L))
+      // the query itself is stateless — the index on storage is the state
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.isEmpty,
+        s"expected a stateless query, got ${prog.stateOperators.length} state operators")
+      // the index holds exactly the accepted docs' bands (4 bands/doc at
+      // k=8, rowsPerBand=2) — dropped docs never enter it
+      val idxRows = spark.read.parquet(idx)
+      assert(idxRows.select("id").as[Long].collect().groupBy(identity)
+        .view.mapValues(_.length).toMap == Map(0L -> 4, 2L -> 4, 4L -> 4, 7L -> 4))
+      // nothing pinned across batches: closure-local checkpoints freed
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "ingest closure must free its localCheckpoint blocks")
+    } finally q.stop()
+  }
+
   test("bounded decontamination (foreachBatch default) ≡ batch, with ZERO cross-batch state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
