@@ -25,6 +25,7 @@ object AssemblyPipeline {
       nInput: Long, nValid: Long,
       nExactDropped: Long, nAfterExact: Long,
       nPairs: Long, nLabeled: Long, nCanonical: Long, nAfterNear: Long,
+      nQualityDropped: Long, nAfterQuality: Long,
       nBench: Long, nContaminated: Long, nAfterDecon: Long,
       nSampled: Long, nPacked: Long, nBins: Long)
 
@@ -61,7 +62,9 @@ object AssemblyPipeline {
       defaultRate: Double = 0.25,
       packBudget: Long = 2048L,
       mixShares: Option[Map[String, Double]] = None,
-      mixTokenBudget: Long = 0L): StageCounts = {
+      mixTokenBudget: Long = 0L,
+      minQuality: Double = 0.0,
+      maxRepetition: Double = 1.0): StageCounts = {
     val nInput = docs.count()
 
     // 1) validate; only passing rows continue (violations go to the
@@ -101,11 +104,29 @@ object AssemblyPipeline {
     require(nAfterNear == nCanonical,
       s"one survivor per cluster: $nAfterNear != $nCanonical")
 
+    // 3.5) quality gate (Gopher-style filtering after dedup): drop
+    //    survivors below the quality floor or above the intra-doc
+    //    repetition ceiling. Both scores are shuffle-free scan-side
+    //    operators; no-op thresholds skip the scans entirely.
+    val (nQualityDropped, afterQuality) =
+      if (minQuality <= 0.0 && maxRepetition >= 1.0) (0L, afterNear)
+      else {
+        val lowQ = TextOps.qualityFeatures(afterNear, "text")
+          .where(col("quality") < minQuality).select("doc_id")
+        val highRep = TextOps.repetitionFeatures(afterNear, "doc_id", "text")
+          .where(col("dup_ratio") > maxRepetition).select("doc_id")
+        val drops = stage(lowQ.union(highRep).distinct())
+        (drops.count(), stage(afterNear.join(drops, Seq("doc_id"), "left_anti")))
+      }
+    val nAfterQuality = afterQuality.count()
+    require(nAfterQuality == nAfterNear - nQualityDropped,
+      s"quality gate must conserve rows: $nAfterNear - $nQualityDropped != $nAfterQuality")
+
     // 4) decontamination: the held-out eval slice leaves the corpus, and
     //    corpus docs sharing >= threshold of their shingles with it drop
-    val bench = afterNear.where(benchPred)
+    val bench = afterQuality.where(benchPred)
     val nBench = bench.count()
-    val corpus = afterNear.where(!benchPred)
+    val corpus = afterQuality.where(!benchPred)
     val contaminated = Dedup.contaminationScores(
         corpus, "doc_id", "text", bench, "text")
       .where(col("contamination") >= contaminationThreshold)
@@ -113,7 +134,7 @@ object AssemblyPipeline {
     val nContaminated = contaminated.count()
     val afterDecon = stage(corpus.join(contaminated, Seq("doc_id"), "left_anti"))
     val nAfterDecon = afterDecon.count()
-    require(nAfterDecon == nAfterNear - nBench - nContaminated,
+    require(nAfterDecon == nAfterQuality - nBench - nContaminated,
       "decon must conserve rows: corpus minus eval slice minus contaminated")
 
     // 5) deterministic stratified sample. With `mixShares` set, the
@@ -158,6 +179,7 @@ object AssemblyPipeline {
 
     StageCounts(nInput, nValid, nExactDropped, nAfterExact,
       nPairs, nLabeled, nCanonical, nAfterNear,
+      nQualityDropped, nAfterQuality,
       nBench, nContaminated, nAfterDecon, nSampled, nPacked, nBins)
   }
 
@@ -175,19 +197,27 @@ object AssemblyPipeline {
     spark.sparkContext.setLogLevel("WARN")
 
     // deterministic corpus with arithmetic dup lanes (SoakBench) plus a
-    // 10-stratum source column; realistic pool (unique random shingles)
-    val data = s"/tmp/graft_assembly_corpus_$rows"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(data)))
+    // 10-stratum source column and a JUNK lane for the quality gate:
+    // every id ≡ 3 (mod 4001) gets its own word repeated 24 times —
+    // unique text (so no dedup lane touches it), dup-3-gram ratio
+    // 21/22 ≈ 0.955, dropped exactly by the repetition ceiling
+    val junkMod = 4001L
+    val data = s"/tmp/graft_assembly_corpus2_$rows"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(data))) {
+      val num = substring(col("doc_id"), 2, 100).cast("long")
       SoakBench.corpus(spark, rows, poolSize = 65521)
-        .withColumn("source",
-          concat(lit("src"),
-            pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+        .withColumn("source", concat(lit("src"), pmod(num, lit(10))))
+        .withColumn("text",
+          when(pmod(num, lit(junkMod)) === 3,
+            array_join(array_repeat(concat(lit("j"), num), 24), " "))
+          .otherwise(col("text")))
         .write.mode("overwrite").parquet(data)
+    }
     val docs = spark.read.parquet(data)
 
     val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
     val t0 = System.nanoTime()
-    val c = run(spark, docs, benchPred = idNum === 5)
+    val c = run(spark, docs, benchPred = idNum === 5, maxRepetition = 0.5)
     val sec = (System.nanoTime() - t0) / 1e9
 
     // arithmetic expectations of the generator (loose bands — the exact
@@ -197,10 +227,16 @@ object AssemblyPipeline {
       c.nExactDropped <= rows / 16 + rows / 10007 + rows / 1000,
       s"exact-dup lane is ~rows/16: ${c.nExactDropped}")
     require(c.nPairs >= rows / 16 - rows / 500, s"near-dup lane is ~rows/16: ${c.nPairs}")
+    // junk-lane arithmetic is EXACT: unique texts survive both dedups,
+    // so the gate sees (and drops) every id ≡ 3 (mod junkMod)
+    val junkCount = if (rows > 3) (rows - 4) / junkMod + 1 else 0L
+    require(c.nQualityDropped == junkCount,
+      s"quality gate must drop exactly the junk lane: ${c.nQualityDropped} != $junkCount")
     println(f"""{"metric":"assembly_total","value":$sec%.1f,"unit":"sec","rows":$rows,"cpus":$cpus}""")
     println(s"""{"stage":"validate","in":${c.nInput},"valid":${c.nValid}}""")
     println(s"""{"stage":"exact_dedup","dropped":${c.nExactDropped},"kept":${c.nAfterExact}}""")
     println(s"""{"stage":"near_dedup","pairs":${c.nPairs},"labeled":${c.nLabeled},"clusters+singletons":${c.nCanonical},"kept":${c.nAfterNear}}""")
+    println(s"""{"stage":"quality_gate","dropped":${c.nQualityDropped},"kept":${c.nAfterQuality}}""")
     println(s"""{"stage":"decontaminate","eval_slice":${c.nBench},"contaminated":${c.nContaminated},"kept":${c.nAfterDecon}}""")
     println(s"""{"stage":"sample","kept":${c.nSampled}}""")
     println(s"""{"stage":"pack","docs":${c.nPacked},"bins":${c.nBins}}""")

@@ -138,6 +138,27 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(c.nBins > 0 && c.nBins < c.nPacked)
   }
 
+  test("assembly quality gate: repetition ceiling drops exactly the junk lane") {
+    val rows = 20000L
+    val junkMod = 971L
+    val num = substring(col("doc_id"), 2, 100).cast("long")
+    val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
+      .withColumn("source", concat(lit("src"), pmod(num, lit(10))))
+      // per-doc-unique repeated word: no dedup lane touches it, the
+      // repetition ceiling is its only exit (dup_ratio = 21/22)
+      .withColumn("text",
+        when(pmod(num, lit(junkMod)) === 3,
+          array_join(array_repeat(concat(lit("j"), num), 24), " "))
+        .otherwise(col("text")))
+    val idNum = pmod(num, lit(1009))
+    val c = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+      maxRepetition = 0.5)
+    val junkCount = (rows - 4) / junkMod + 1 // ids ≡ 3 (mod junkMod) in [0, rows)
+    assert(c.nQualityDropped == junkCount, s"dropped ${c.nQualityDropped}")
+    assert(c.nAfterQuality == c.nAfterNear - junkCount)
+    assert(c.nAfterDecon == c.nAfterQuality - c.nBench - c.nContaminated)
+  }
+
   test("assembly pipeline with mixture weighting: sampled tokens track the target shares") {
     val rows = 20000L
     val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
