@@ -151,6 +151,40 @@ object SoakBench {
       Dedup.simhashDf(docs, "doc_id", "text")
         .groupBy("simhash").count().where(col("count") > 1).count()
     }
+    run("segment_dedup") {
+      // segment (line) dedup at width 8: every doc is exactly 3
+      // segments (24 words), so Σ n_segments = 3·rows EXACTLY. The dup
+      // lanes give the duplication arithmetic: each exact-dup pair
+      // (rows/16) duplicates all 3 segments of both docs (6), each
+      // near-dup pair (rows/16, last word differs → third segment
+      // unique) duplicates 4, and the ~rows/10007 identical boilerplate
+      // docs duplicate all 3·B — ≈ rows·10/16 + 3·rows/10007 total,
+      // banded for lane interactions. out_rows = Σ n_dup_segments.
+      val st = Dedup.segmentStats(docs, "doc_id", "text", width = 8)
+        .agg(sum("n_segments"), sum("n_dup_segments")).collect()(0)
+      require(st.getLong(0) == 3 * rows,
+        s"segment count must be exact: ${st.getLong(0)} != ${3 * rows}")
+      val dup = st.getLong(1)
+      val want = rows * 10 / 16 + 3 * (rows / 10007)
+      require(math.abs(dup - want) <= rows / 1000,
+        s"dup segments $dup outside band around $want")
+      dup
+    }
+    run("segment_rewrite") {
+      // the rewrite half: per dup GROUP one occurrence survives, so
+      // dropped = rows/16·3 (exact pairs) + rows/16·2 (near pairs)
+      // + 3·(B−1) (boilerplate collapses to one doc's segments).
+      // out_rows = Σ kept segments; Σ n_segments re-require'd exact.
+      val rw = Dedup.dropDuplicateSegments(docs, "doc_id", "text", width = 8)
+        .agg(sum("n_segments"), sum("n_kept")).collect()(0)
+      require(rw.getLong(0) == 3 * rows,
+        s"rewrite segment count must be exact: ${rw.getLong(0)} != ${3 * rows}")
+      val dropped = rw.getLong(0) - rw.getLong(1)
+      val want = rows * 5 / 16 + 3 * (rows / 10007 - 1)
+      require(math.abs(dropped - want) <= rows / 1000,
+        s"dropped segments $dropped outside band around $want")
+      rw.getLong(1)
+    }
     run("simhash_pairs") {
       // banded-hamming near-dup pairs; the boilerplate lane (~rows/10007
       // identical docs → one identical simhash in every band) is the
