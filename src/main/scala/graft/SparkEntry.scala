@@ -552,6 +552,22 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segmentStats(read(s, dir, "documents"), "doc_id", "text")),
 
+    // incremental line dedup: batch (doc_id%10=7) rewritten against the
+    // rest-of-corpus segment index — batch ids interleave with old ids,
+    // so the old-wins rule is genuinely exercised (not just first-occ)
+    "dedup_seg_incr" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+      val newB = docs.where(col("doc_id") % 10 === 7)
+      val oldB = docs.where(col("doc_id") % 10 =!= 7)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_seg_index_" +
+        s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime}_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+        Dedup.segmentWriteIndex(oldB, "doc_id", "text", path)
+      Dedup.segmentIncrementalRewrite(s, path, newB, "doc_id", "text")
+    }),
+
     "dedup_seg_rewrite" -> ((s, dir) =>
       Dedup.dropDuplicateSegments(read(s, dir, "documents"), "doc_id", "text")),
 
@@ -1378,6 +1394,25 @@ object SparkEntry {
                    count(*) AS n_segments,
                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM c GROUP BY doc_id""",
+
+      // old-wins incremental rewrite: a batch segment survives iff NO
+      // old doc carries it AND it is the batch-internal first occurrence
+      "dedup_seg_incr" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w, (doc_id % 10 = 7) AS is_new
+                       FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            segs AS (SELECT doc_id, is_new, u.pos AS pos, u.seg AS seg FROM (
+              SELECT doc_id, is_new, unnest(list_transform(range(0, ((len(w)-1) // 8) + 1),
+                i -> {'pos': i, 'seg': array_to_string(list_slice(w, i*8+1, i*8+8), ' ')})) AS u
+              FROM t)),
+            c AS (SELECT doc_id, is_new, pos, seg,
+                    sum(CASE WHEN is_new THEN 0 ELSE 1 END) OVER (PARTITION BY seg) AS n_old,
+                    row_number() OVER (PARTITION BY seg, is_new ORDER BY doc_id, pos) AS rn
+                  FROM segs)
+            SELECT doc_id,
+                   COALESCE(string_agg(CASE WHEN n_old = 0 AND rn = 1 THEN seg END, ' ' ORDER BY pos), '') AS text,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN n_old = 0 AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM c WHERE is_new GROUP BY doc_id""",
 
       "dedup_embed_pairs" ->
         """SELECT x.vec_id AS a, y.vec_id AS b,

@@ -569,6 +569,85 @@ object Dedup {
       .select(col(keyCol), col("text"), col("n_segments"), col("n_kept"))
   }
 
+  /** Materialized segment index: the corpus's DISTINCT segment
+    * fingerprints (16-byte md5 of each width-word chunk), parquet-
+    * partitioned by fingerprint hash — the segment-granularity sibling
+    * of [[exactWriteIndex]], enabling incremental line dedup of a daily
+    * batch without re-scanning the corpus (what cross-dump line dedup
+    * does across crawl snapshots). The index is a content SET: appends
+    * may re-add fingerprints already present (probes treat presence as
+    * boolean, so duplicates cost index bytes, never correctness). Same
+    * `nPartBuckets` sizing rule as [[exactWriteIndex]].
+    */
+  def segmentWriteIndex(df: DataFrame, keyCol: String, textCol: String,
+      path: String, width: Int = 8, nPartBuckets: Int = 256): Unit =
+    segmentIndexRows(df, keyCol, textCol, width, nPartBuckets)
+      .write.mode("overwrite").partitionBy("_pb").parquet(path)
+
+  /** Fold a batch's segment vocabulary INTO an existing
+    * [[segmentWriteIndex]] — the maintenance half of the ingest loop.
+    * `width`/`nPartBuckets` MUST match the build values.
+    */
+  def segmentAppendIndex(newBatch: DataFrame, keyCol: String, textCol: String,
+      path: String, width: Int = 8, nPartBuckets: Int = 256): Unit =
+    segmentIndexRows(newBatch, keyCol, textCol, width, nPartBuckets)
+      .write.mode("append").partitionBy("_pb").parquet(path)
+
+  private def segmentIndexRows(df: DataFrame, keyCol: String, textCol: String,
+      width: Int, nPartBuckets: Int): DataFrame =
+    segmentRows(df, keyCol, textCol, width)
+      .select(unhex(md5(col("seg").cast("binary"))).as("fp"))
+      .distinct()
+      .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
+
+  /** Incremental segment dedup: rewrite a NEW batch's documents dropping
+    * every segment already present in the corpus (via its
+    * [[segmentWriteIndex]] — OLD WINS regardless of key order, because
+    * the corpus is immutable) and, among the batch's own segments, every
+    * occurrence after the batch-internal first (min `(key, pos)`, the
+    * same rule as [[dropDuplicateSegments]]). Output schema ≡
+    * [[dropDuplicateSegments]]: `(key, text, n_segments, n_kept)`.
+    * When every old key precedes every batch key, this is EXACTLY the
+    * full-corpus rewrite restricted to batch docs (asserted by an
+    * OpsSpec differential and the `dedup_seg_incr` oracle).
+    *
+    * Scale shape: one scan of the BATCH text, a partition-pruned index
+    * read (`_pb IN (batch's fingerprint buckets)`), a broadcast LEFT
+    * SEMI of pruned index rows against the batch's distinct fingerprints
+    * (bounded by the batch's own segment vocabulary — small by the
+    * daily-ingest contract), then one batch-sized window + re-agg.
+    * Corpus text is never re-read.
+    */
+  def segmentIncrementalRewrite(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
+      width: Int = 8, nPartBuckets: Int = 256): DataFrame = {
+    val segs = segmentRows(newBatch, keyCol, textCol, width)
+      .withColumn("fp", unhex(md5(col("seg").cast("binary"))))
+      .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
+    val pbs = segs.select("_pb").distinct().collect().map(_.getLong(0))
+    val batchFps = segs.select("fp").distinct()
+    val oldHit = spark.read.parquet(indexPath)
+      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
+      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+      .select(col("fp")).distinct()
+      .withColumn("_old", lit(true))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val occ = struct(col("id"), col("pos"))
+    val keep = col("_old").isNull && occ === col("_first")
+    segs
+      .join(broadcast(oldHit), Seq("fp"), "left")
+      .withColumn("_first", min(occ).over(w))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(keep, struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("text"))
+      .withColumnRenamed("id", keyCol)
+      .select(col(keyCol), col("text"), col("n_segments"), col("n_kept"))
+  }
+
   /** Resolve candidate pairs into duplicate clusters: connected
     * components over the pair graph, labeling every member with the
     * component's minimum key (`cluster_id`). This is the step after LSH /

@@ -934,6 +934,45 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rw(13L) == (("", 2L, 0L)))                  // fully deduplicated, row kept
   }
 
+  test("segmentIncrementalRewrite: old wins regardless of key order; append feeds the next probe") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_segidx").toString + "/idx"
+    // OLD corpus has LARGER keys than the batch — key order must not
+    // matter against the immutable corpus
+    val old = Seq((100L, "a1 a2 a3 z1 z2 z3")).toDF("doc_id", "text")
+    Dedup.segmentWriteIndex(old, "doc_id", "text", idx, width = 3)
+    val batch1 = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"), // A owned by old doc 100 → dropped; B kept
+      (2L, "b1 b2 b3 c1 c2 c3")  // B loses to batch doc 1; C kept
+    ).toDF("doc_id", "text")
+    val rw1 = Dedup.segmentIncrementalRewrite(spark, idx, batch1, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(rw1 == Map(1L -> (("b1 b2 b3", 1L)), 2L -> (("c1 c2 c3", 1L))))
+    // fold batch 1 in; a second batch must now lose to batch 1's segments
+    Dedup.segmentAppendIndex(batch1, "doc_id", "text", idx, width = 3)
+    val batch2 = Seq((3L, "c1 c2 c3 d1 d2 d3")).toDF("doc_id", "text")
+    val rw2 = Dedup.segmentIncrementalRewrite(spark, idx, batch2, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(rw2 == Map(3L -> (("d1 d2 d3", 1L))))
+  }
+
+  test("segmentIncrementalRewrite ≡ full-corpus rewrite when old keys precede batch keys") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_segidx2").toString + "/idx"
+    val rnd = new scala.util.Random(43)
+    def text(): String = (0 until 9).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+    val all = (0 until 200).map(i => (i.toLong, text())).toDF("doc_id", "text")
+    val old = all.where(col("doc_id") < 120)
+    val batch = all.where(col("doc_id") >= 120)
+    Dedup.segmentWriteIndex(old, "doc_id", "text", idx, width = 3)
+    val got = Dedup.segmentIncrementalRewrite(spark, idx, batch, "doc_id", "text", width = 3)
+      .collect().map(_.toSeq).toSet
+    // with old ids strictly below batch ids, old-wins == global first
+    // occurrence, so the full-corpus rewrite restricted to batch keys
+    // must agree exactly
+    val want = Dedup.dropDuplicateSegments(all, "doc_id", "text", width = 3)
+      .where(col("doc_id") >= 120).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("dropDuplicateSegments: partitioning-invariant, null keys/text excluded") {
     val withNulls = segDocs.union(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
