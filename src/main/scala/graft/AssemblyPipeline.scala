@@ -29,11 +29,14 @@ object AssemblyPipeline {
       nBench: Long, nContaminated: Long, nAfterDecon: Long,
       nSampled: Long, nPacked: Long, nBins: Long)
 
+  // doc_id is a union type: the synthetic corpora carry "d<N>" strings,
+  // real documents tables (e.g. the testdata parquet) carry integers —
+  // the assembly contract only needs presence and non-null, not a shape
   private val specJson =
     """{
       "type": "object",
       "properties": {
-        "doc_id": {"type": "string", "required": true, "pattern": "^d[0-9]+$"},
+        "doc_id": {"type": ["string", "integer"], "required": true},
         "text":   {"type": "string", "required": true, "minLength": 1},
         "source": {"type": "string", "required": true}
       }
@@ -64,7 +67,8 @@ object AssemblyPipeline {
       mixShares: Option[Map[String, Double]] = None,
       mixTokenBudget: Long = 0L,
       minQuality: Double = 0.0,
-      maxRepetition: Double = 1.0): StageCounts = {
+      maxRepetition: Double = 1.0,
+      outDir: Option[String] = None): StageCounts = {
     val nInput = docs.count()
 
     // 1) validate; only passing rows continue (violations go to the
@@ -177,6 +181,14 @@ object AssemblyPipeline {
     require(nPacked == nSampled, "packing assigns every sampled doc to a bin")
     val nBins = packed.select("source", "shard", "bin_id").distinct().count()
 
+    // materialize the assembled corpus: doc rows with their pack
+    // assignment, partitioned by stratum (the layout a trainer's data
+    // loader reads bin-by-bin within a source)
+    outDir.foreach { d =>
+      withTok.join(packed.select("doc_id", "shard", "bin_id"), Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("source").parquet(d)
+    }
+
     StageCounts(nInput, nValid, nExactDropped, nAfterExact,
       nPairs, nLabeled, nCanonical, nAfterNear,
       nQualityDropped, nAfterQuality,
@@ -233,6 +245,12 @@ object AssemblyPipeline {
     require(c.nQualityDropped == junkCount,
       s"quality gate must drop exactly the junk lane: ${c.nQualityDropped} != $junkCount")
     println(f"""{"metric":"assembly_total","value":$sec%.1f,"unit":"sec","rows":$rows,"cpus":$cpus}""")
+    report(c)
+    spark.stop()
+  }
+
+  /** One JSON line per stage (shared by `main` and `Main assemble`). */
+  def report(c: StageCounts): Unit = {
     println(s"""{"stage":"validate","in":${c.nInput},"valid":${c.nValid}}""")
     println(s"""{"stage":"exact_dedup","dropped":${c.nExactDropped},"kept":${c.nAfterExact}}""")
     println(s"""{"stage":"near_dedup","pairs":${c.nPairs},"labeled":${c.nLabeled},"clusters+singletons":${c.nCanonical},"kept":${c.nAfterNear}}""")
@@ -240,6 +258,5 @@ object AssemblyPipeline {
     println(s"""{"stage":"decontaminate","eval_slice":${c.nBench},"contaminated":${c.nContaminated},"kept":${c.nAfterDecon}}""")
     println(s"""{"stage":"sample","kept":${c.nSampled}}""")
     println(s"""{"stage":"pack","docs":${c.nPacked},"bins":${c.nBins}}""")
-    spark.stop()
   }
 }

@@ -133,12 +133,62 @@ object Main {
       spark.stop()
       return
     }
+    // assemble: the full corpus-assembly pass (validate → exact dedup →
+    // near-dedup/canonical → quality gate → decontaminate → sample →
+    // pack) over a (doc_id, text, source) documents table, writing the
+    // packed corpus partitioned by source and printing one JSON line per
+    // stage with its require'd invariants (AssemblyPipeline).
+    if (args.length >= 3 && args(0) == "assemble") {
+      val builder0 = SparkSession.builder().appName("graft-assemble")
+      val builder =
+        if (sys.props.contains("spark.master")) builder0
+        else builder0.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      val spark = builder
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val docs = spark.read.parquet(args(1))
+      def opt(flag: String, dflt: String): String = args.sliding(2).collectFirst {
+        case Array(`flag`, v) => v
+      }.getOrElse(dflt)
+      def rateMap(s: String): Map[String, Double] =
+        s.split(",").filter(_.nonEmpty).map { kv =>
+          val Array(k, v) = kv.split("=")
+          k -> v.toDouble
+        }.toMap
+      // held-out eval slice by key hash: stable under any partitioning
+      val benchMod = opt("--benchMod", "1000").toLong
+      val rates = rateMap(opt("--rates", ""))
+      val mixShares = Some(rateMap(opt("--mixShares", ""))).filter(_.nonEmpty)
+      val t0 = System.nanoTime()
+      val c = AssemblyPipeline.run(spark, docs,
+        benchPred = pmod(xxhash64(col("doc_id")), lit(benchMod)) === 0L,
+        contaminationThreshold = opt("--contamThreshold", "0.5").toDouble,
+        sampleRates = if (rates.nonEmpty) rates else Map.empty,
+        defaultRate = opt("--defaultRate", "1.0").toDouble,
+        packBudget = opt("--packBudget", "2048").toLong,
+        mixShares = mixShares,
+        mixTokenBudget = opt("--mixTokenBudget", "0").toLong,
+        minQuality = opt("--minQuality", "0.0").toDouble,
+        maxRepetition = opt("--maxRepetition", "1.0").toDouble,
+        outDir = Some(args(2)))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"assemble_total","value":$sec%.1f,"unit":"sec","in_rows":${c.nInput},"out_rows":${c.nPacked}}""")
+      AssemblyPipeline.report(c)
+      spark.stop()
+      return
+    }
     if (args.length < 4 || args(0) != "validate") {
       System.err.println(
         "usage: graft.Main validate <inputParquetDir|gen:N|jsonl:path> <specJsonFile|builtin> <outDir> [--maxPartitions K] [--subBuckets N] [--concurrency C] [--capViolations K] [--emitValid] [--dialect posix|java]\n" +
         "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
         "       graft.Main infer <inputParquetDir|gen:N> [enumMax]\n" +
-        "       graft.Main profile <inputParquetDir|gen:N> <artifactDir> [--batchCol c] [--cols c1,c2] [--histCol c] [--bucketWidth w] [--nBuckets n]")
+        "       graft.Main profile <inputParquetDir|gen:N> <artifactDir> [--batchCol c] [--cols c1,c2] [--histCol c] [--bucketWidth w] [--nBuckets n]\n" +
+        "       graft.Main assemble <documentsParquetDir> <outDir> [--benchMod M] [--contamThreshold t] [--rates s=r,...] [--defaultRate r] [--packBudget B] [--mixShares s=w,...] [--mixTokenBudget T] [--minQuality q] [--maxRepetition r]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))

@@ -82,6 +82,15 @@ class SessionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       ts("2024-01-01 00:00:00"), ts("2024-01-01 01:39:00"), 0L)))
   }
 
+  test("sessionStatsBucketed: exactly two exchanges — both groupBys reuse their window's partitioning") {
+    val out = Sessions.sessionStatsBucketed(events, "user_id", "ts", "event_id", "value")
+    val shuffles = out.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 2,
+      "level 1 shuffles by (entity, bucket), level 2 by entity; the stub " +
+        "and session aggregations must reuse those exchanges, not add their own")
+  }
+
   test("sessionize: same-timestamp ties are ordered by event id deterministically") {
     val tied = Seq(
       (2L, 9L, ts("2024-01-01 10:00:00"), 0.0),
