@@ -973,6 +973,37 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == want)
   }
 
+  test("segment index probe prunes at storage level: only the batch's buckets are listed") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_segidx3").toString + "/idx"
+    // 200 distinct segments spread across 16 buckets; the 1-segment
+    // batch must touch a strict subset of directories
+    val old = (0 until 200).map(i => (i.toLong, s"o${i}a o${i}b o${i}c"))
+      .toDF("doc_id", "text")
+    Dedup.segmentWriteIndex(old, "doc_id", "text", idx, width = 3, nPartBuckets = 16)
+    val batch = Seq((500L, "w1 w2 w3")).toDF("doc_id", "text")
+    val out = Dedup.segmentIncrementalRewrite(spark, idx, batch, "doc_id", "text",
+      width = 3, nPartBuckets = 16)
+    // inspect the PRE-EXECUTION plan: once this batch (whose segment
+    // misses the index) runs, AQE's empty-relation propagation folds
+    // the entire probe branch away — scan included — so the pruning
+    // evidence lives in the initial adaptive plan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+    }.flatten
+    val fileScans = scans(out.queryExecution.executedPlan)
+    assert(fileScans.nonEmpty,
+      s"the index read must be a file scan:\n${out.queryExecution.executedPlan.treeString}")
+    val fs = fileScans.head
+    assert(fs.partitionFilters.nonEmpty,
+      "the _pb predicate must land in PartitionFilters, not a post-scan Filter")
+    assert(fs.selectedPartitions.partitionCount == 1,
+      s"a one-segment batch probes exactly one bucket, listed ${fs.selectedPartitions.partitionCount}")
+  }
+
   test("dropDuplicateSegments: partitioning-invariant, null keys/text excluded") {
     val withNulls = segDocs.union(spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
