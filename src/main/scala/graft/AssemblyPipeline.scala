@@ -68,6 +68,7 @@ object AssemblyPipeline {
       mixTokenBudget: Long = 0L,
       minQuality: Double = 0.0,
       maxRepetition: Double = 1.0,
+      mixMaxEpochs: Double = 1.0,
       outDir: Option[String] = None): StageCounts = {
     val nInput = docs.count()
 
@@ -141,12 +142,13 @@ object AssemblyPipeline {
     require(nAfterDecon == nAfterQuality - nBench - nContaminated,
       "decon must conserve rows: corpus minus eval slice minus contaminated")
 
-    // 5) deterministic stratified sample. With `mixShares` set, the
-    //    rates are not caller constants but COMPUTED from the
-    //    post-decon corpus by mixture weighting (target share of
-    //    `mixTokenBudget` per source, capped at one epoch since a
-    //    Bernoulli sample cannot repeat docs) — the production flow,
-    //    where the mixture spec is policy and the rates follow the data.
+    // 5) deterministic sample. With `mixShares` set, the rates are not
+    //    caller constants but COMPUTED from the post-decon corpus by
+    //    mixture weighting (target share of `mixTokenBudget` per
+    //    source) — the production flow, where the mixture spec is
+    //    policy and the rates follow the data. `mixMaxEpochs` ≤ 1 caps
+    //    rates at one epoch (a Bernoulli sample cannot repeat docs);
+    //    above 1 the epoch sampler below materializes the repetition.
     val withTok0 =
       if (mixShares.isDefined)
         stage(afterDecon.withColumn("n_tok", TextOps.tokenCount(col("text"))))
@@ -155,7 +157,7 @@ object AssemblyPipeline {
       case Some(shares) =>
         require(mixTokenBudget > 0, "mixShares needs a positive mixTokenBudget")
         val computed = Pipeline.mixtureWeights(withTok0, "source", "n_tok",
-            shares, mixTokenBudget, maxEpochs = 1.0)
+            shares, mixTokenBudget, maxEpochs = mixMaxEpochs)
           .select(col("source"), col("rate")).collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
         // a share key with no corpus rows yields no rate row, and its
@@ -167,15 +169,28 @@ object AssemblyPipeline {
         computed
       case None => sampleRates
     }
-    val sampled = Pipeline.stratifiedSample(withTok0, "doc_id", "source",
-      rates, if (mixShares.isDefined) 0.0 else defaultRate)
+    // with mixMaxEpochs > 1 the computed rates may EXCEED 1 — scarce
+    // strata repeat (upsampling): epochSample materializes floor(rate)
+    // full epochs plus a hash-gated fractional one, and the pack key
+    // becomes (doc_id, epoch) so repeated docs pack as distinct
+    // sequences; otherwise a plain Bernoulli stratified sample
+    val upsampling = mixShares.isDefined && mixMaxEpochs > 1.0
+    val (sampled, packKey) =
+      if (upsampling)
+        (Pipeline.epochSample(withTok0, "doc_id", "source", rates)
+          .withColumn("samp_key",
+            concat(col("doc_id").cast("string"), lit(":"), col("epoch"))),
+          "samp_key")
+      else
+        (Pipeline.stratifiedSample(withTok0, "doc_id", "source",
+          rates, if (mixShares.isDefined) 0.0 else defaultRate), "doc_id")
     val nSampled = sampled.count()
 
     // 6) sequence packing over the sample
     val withTok =
       if (mixShares.isDefined) sampled
       else sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
-    val packed = Pipeline.packSequences(withTok, "doc_id", "n_tok", "source",
+    val packed = Pipeline.packSequences(withTok, packKey, "n_tok", "source",
       budget = packBudget, nShards = 8)
     val nPacked = packed.count()
     require(nPacked == nSampled, "packing assigns every sampled doc to a bin")
@@ -185,7 +200,7 @@ object AssemblyPipeline {
     // assignment, partitioned by stratum (the layout a trainer's data
     // loader reads bin-by-bin within a source)
     outDir.foreach { d =>
-      withTok.join(packed.select("doc_id", "shard", "bin_id"), Seq("doc_id"))
+      withTok.join(packed.select(packKey, "shard", "bin_id"), Seq(packKey))
         .write.mode("overwrite").partitionBy("source").parquet(d)
     }
 

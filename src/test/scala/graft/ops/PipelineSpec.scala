@@ -183,6 +183,30 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"sampled tokens $sampledTokens vs budget $budget")
   }
 
+  test("assembly with upsampling mixture: a scarce stratum repeats to hit its share") {
+    val rows = 20000L
+    val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
+      .withColumn("source",
+        concat(lit("src"),
+          pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+    val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+    // src3 alone carries the whole budget: ~1.75k surviving docs × 24
+    // words ≈ 42k available tokens, budget 100k → rate ≈ 2.4 — only
+    // reachable by repetition (epoch cap 4 does not bind)
+    val budget = 100000L
+    val c = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+      mixShares = Some(Map("src3" -> 1.0)), mixTokenBudget = budget,
+      mixMaxEpochs = 4.0)
+    assert(c.nPacked == c.nSampled)
+    val sampledTokens = c.nSampled * 24.0
+    assert(math.abs(sampledTokens - budget) < budget * 0.10,
+      s"upsampled tokens $sampledTokens vs budget $budget")
+    // repetition really happened: more sampled rows than distinct docs
+    // can supply at one epoch
+    assert(c.nSampled > c.nAfterDecon / 10 * 1.5,
+      s"nSampled ${c.nSampled} should exceed one epoch of the ~1/10 stratum")
+  }
+
   // === packSequences ===
 
   private lazy val seqs = spark.range(300)
