@@ -110,6 +110,51 @@ object StreamingValidation {
       }
     }
 
+  /** Streaming segment (line) dedup ingest — cross-dump line dedup as a
+    * continuous query: per micro-batch, rewrite the arriving docs
+    * dropping every segment the accepted corpus already holds
+    * ([[graft.ops.Dedup.segmentIncrementalRewrite]] — old wins) plus
+    * batch-internal repeats, then fold the batch's segment vocabulary
+    * into the index so the next batch sees it. `sink` receives the
+    * rewritten docs `(key, text, n_segments, n_kept)` per batch. Same
+    * state story as [[dedupIngestStream]]: the query holds zero
+    * state-store state — the segment index on storage is the state —
+    * and every pinned block is freed before the closure returns. The
+    * first batch (no index yet) dedups within itself and bootstraps the
+    * index. The append re-adds fingerprints whose content was already
+    * indexed (the index is a SET with duplicates tolerated — probes are
+    * existence checks), bounded by one copy per batch containing the
+    * segment.
+    */
+  def segmentIngestStream(stream: DataFrame, keyCol: String, textCol: String,
+      indexPath: String, width: Int = 8, nPartBuckets: Int = 256)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.ops.Dedup
+      val spark = batch.sparkSession
+      val sc = spark.sparkContext
+      val pinnedBefore = sc.getPersistentRDDs.keySet
+      try {
+        val b = batch.localCheckpoint()
+        // materialized BEFORE the append: a lazy plan would re-read the
+        // index after its own batch's vocabulary landed in it
+        val rewritten =
+          (if (indexNonEmpty(spark, indexPath))
+            Dedup.segmentIncrementalRewrite(spark, indexPath, b, keyCol,
+              textCol, width, nPartBuckets)
+          else
+            Dedup.dropDuplicateSegments(b, keyCol, textCol, width))
+            .localCheckpoint()
+        Dedup.segmentAppendIndex(b, keyCol, textCol, indexPath, width,
+          nPartBuckets)
+        sink(rewritten, batchId)
+      } finally {
+        (sc.getPersistentRDDs.keySet -- pinnedBefore)
+          .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      }
+    }
+
   /** True iff `path` already holds index bucket directories (Hadoop FS,
     * so any cluster storage scheme works).
     */

@@ -267,6 +267,43 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q.stop()
   }
 
+  test("streaming segment ingest: later batches lose segments to earlier ones, zero query state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_segingest").toString + "/idx"
+    val out = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingValidation.segmentIngestStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, width = 3) {
+        (rewritten, _) =>
+          out.synchronized {
+            rewritten.collect().foreach(r =>
+              out(r.getLong(0)) = (r.getString(1), r.getLong(3)))
+          }
+      }.start()
+    try {
+      // batch 1 bootstraps: within-batch dedup only (doc 1 loses A to 0)
+      mem.addData((0L, "a1 a2 a3 b1 b2 b3"), (1L, "a1 a2 a3 c1 c2 c3"))
+      q.processAllAvailable()
+      // batch 2: loses B and C to batch 1's index, keeps D
+      mem.addData((2L, "b1 b2 b3 c1 c2 c3 d1 d2 d3"))
+      q.processAllAvailable()
+      // batch 3: loses D to batch 2 — the index grew mid-stream
+      mem.addData((3L, "d1 d2 d3 e1 e2 e3"))
+      q.processAllAvailable()
+      assert(out.synchronized(out.toMap) == Map(
+        0L -> (("a1 a2 a3 b1 b2 b3", 2L)),
+        1L -> (("c1 c2 c3", 1L)),
+        2L -> (("d1 d2 d3", 1L)),
+        3L -> (("e1 e2 e3", 1L))))
+      val prog = q.lastProgress
+      assert(prog != null && prog.stateOperators.isEmpty,
+        s"expected a stateless query, got ${prog.stateOperators.length} state operators")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "ingest closure must free its localCheckpoint blocks")
+    } finally q.stop()
+  }
+
   test("bounded decontamination (foreachBatch default) ≡ batch, with ZERO cross-batch state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
