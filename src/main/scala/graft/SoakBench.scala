@@ -245,6 +245,41 @@ object SoakBench {
       SeqOps.repetition(seqs, "doc_id", "tokens")
         .where(col("dup_ratio") >= 0).count()
     }
+    run("segment_index_build") {
+      // one-time segment-vocabulary index over the rest-of-corpus
+      // (everything outside the id%101==7 "daily" batch). out_rows =
+      // indexed distinct fingerprints ≈ the corpus's distinct segment
+      // count (the segment_rewrite stage's Σ n_kept) scaled by the
+      // rest fraction — banded, since the %101 split also removes a
+      // few dup-group members.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      Dedup.segmentWriteIndex(docs.where(idNum =!= 7), "doc_id", "text",
+        s"$data-segidx")
+      val n = spark.read.parquet(s"$data-segidx").count()
+      val want = (3 * rows - (rows * 5 / 16 + 3 * (rows / 10007 - 1))) / 101 * 100
+      require(math.abs(n - want) <= rows / 20,
+        s"index rows $n outside band around $want")
+      n
+    }
+    run("segment_incr_probe") {
+      // the per-batch cost: the ~rows/101 daily batch rewritten against
+      // the index. Σ n_segments = 3·batch EXACT; dropped segments follow
+      // the lane arithmetic relative to the OUTSIDE corpus — batch docs
+      // in the exact lanes (ids ≡0,1 mod 16, partner almost surely
+      // outside the batch) lose all 3, near-lane docs (≡2,3) lose 2:
+      // ≈ batch·10/16, banded for boilerplate and intra-batch pairs.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      val rw = Dedup.segmentIncrementalRewrite(spark, s"$data-segidx",
+          docs.where(idNum === 7), "doc_id", "text")
+        .agg(sum("n_segments"), sum("n_kept")).collect()(0)
+      require(rw.getLong(0) % 3 == 0, "every doc is exactly 3 segments")
+      val batch = rw.getLong(0) / 3
+      val dropped = rw.getLong(0) - rw.getLong(1)
+      val want = batch * 10 / 16
+      require(math.abs(dropped - want) <= batch / 100,
+        s"probe dropped $dropped outside band around $want (batch $batch)")
+      rw.getLong(1)
+    }
     run("decontamination") {
       // benchmark = an "eval set" sampled from the corpus distribution
       // (id % 1009 == 5, ~rows/1009 docs) against the rest — the
