@@ -245,6 +245,36 @@ object SoakBench {
       SeqOps.repetition(seqs, "doc_id", "tokens")
         .where(col("dup_ratio") >= 0).count()
     }
+    run("rolling_dedup") {
+      // boundary-insensitive rolling-gram duplication at k=8: every doc
+      // is EXACTLY 17 grams (24 words, stride 1) → Σ n_grams = 17·rows.
+      // Lane arithmetic: exact pairs duplicate all 17 grams of both
+      // docs, near pairs 16 of each (only the gram touching the salted
+      // last word is unique), boilerplate 17·B →
+      // ≈ rows·66/16 + 17·rows/10007 dup grams. 340M gram rows through
+      // the md5 window at 20M docs — the k× segment explode.
+      val st = Dedup.rollingGramStats(docs, "doc_id", "text", k = 8)
+        .agg(sum("n_grams"), sum("n_dup_grams")).collect()(0)
+      require(st.getLong(0) == 17 * rows,
+        s"rolling gram count must be exact: ${st.getLong(0)} != ${17 * rows}")
+      val dup = st.getLong(1)
+      val want = rows * 66 / 16 + 17 * (rows / 10007)
+      require(math.abs(dup - want) <= rows / 1000,
+        s"dup grams $dup outside band around $want")
+      dup
+    }
+    run("dup_spans") {
+      // merged duplicated spans: every dup-lane doc collapses to ONE
+      // maximal span (exact docs words 0-23, near docs 0-22 — the dup
+      // grams overlap chain-wise), boilerplate docs one span each →
+      // ≈ rows·4/16 + rows/10007 span rows.
+      val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+      val n = spans.count()
+      val want = rows * 4 / 16 + rows / 10007
+      require(math.abs(n - want) <= rows / 500,
+        s"span count $n outside band around $want")
+      n
+    }
     run("segment_index_build") {
       // one-time segment-vocabulary index over the rest-of-corpus
       // (everything outside the id%101==7 "daily" batch). out_rows =

@@ -552,6 +552,12 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segmentStats(read(s, dir, "documents"), "doc_id", "text")),
 
+    "dedup_rolling" -> ((s, dir) =>
+      Dedup.rollingGramStats(read(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(read(s, dir, "documents"), "doc_id", "text")),
+
     // incremental line dedup: batch (doc_id%10=7) rewritten against the
     // rest-of-corpus segment index — batch ids interleave with old ids,
     // so the old-wins rule is genuinely exercised (not just first-occ)
@@ -1394,6 +1400,48 @@ object SparkEntry {
                    count(*) AS n_segments,
                    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
             FROM c GROUP BY doc_id""",
+
+      // rolling k=8 grams, stride 1; short docs yield one whole-text
+      // gram (greatest clamps the range, list_slice clamps the slice)
+      "dedup_rolling" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            g AS (SELECT doc_id, u.gram AS gram FROM (
+              SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 8, 0) + 1),
+                i -> {'gram': array_to_string(list_slice(w, i+1, i+8), ' ')})) AS u
+              FROM t)),
+            c AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS c FROM g)
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+                   round(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dup_gram_ratio
+            FROM c GROUP BY doc_id""",
+
+      // merged duplicated spans: island detection over dup-gram starts —
+      // a new island begins past the running max end + 1
+      "dedup_spans" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            g AS (SELECT doc_id, n, u.pos AS pos, u.gram AS gram FROM (
+              SELECT doc_id, len(w) AS n,
+                     unnest(list_transform(range(0, greatest(len(w) - 8, 0) + 1),
+                i -> {'pos': i, 'gram': array_to_string(list_slice(w, i+1, i+8), ' ')})) AS u
+              FROM t)),
+            d AS (SELECT doc_id, pos, least(pos + 7, n - 1) AS e FROM (
+                    SELECT *, count(*) OVER (PARTITION BY gram) AS c FROM g)
+                  WHERE c > 1),
+            m AS (SELECT doc_id, pos, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                  FROM d),
+            i AS (SELECT doc_id, pos, e,
+                    sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+                  FROM m)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(e) AS BIGINT) AS span_end
+            FROM i GROUP BY doc_id, island""",
 
       // old-wins incremental rewrite: a batch segment survives iff NO
       // old doc carries it AND it is the batch-internal first occurrence

@@ -569,6 +569,94 @@ object Dedup {
       .select(col(keyCol), col("text"), col("n_segments"), col("n_kept"))
   }
 
+  /** One row per ROLLING k-word gram (stride 1, vs [[segmentRows]]'
+    * stride-width chunks): `(id, _n = doc word count, pos = gram start,
+    * gram)`. Docs shorter than `k` contribute one whole-text gram
+    * (slice clamps). Same null-exclusion contract and single-split
+    * materialization as [[segmentRows]].
+    */
+  private def rollingGramRows(df: DataFrame, keyCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"gram width must be positive, got $k")
+    df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("id"), words(col(textCol)).as("_w"))
+      .select(col("id"), size(col("_w")).as("_n"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("_w")) - k, lit(0))),
+          i => array_join(slice(col("_w"), i + 1, lit(k)), " "))))
+      .toDF("id", "_n", "pos", "gram")
+  }
+
+  /** Per-document ROLLING-gram duplication profile — the
+    * boundary-insensitive companion of [[segmentStats]]: a copied
+    * passage that is SHIFTED relative to another doc's word grid never
+    * aligns with fixed-width chunks, but its interior k-grams collide
+    * exactly (the distributed approximation of suffix-array substring
+    * dedup: any shared span of ≥ k words shares ≥ 1 rolling k-gram,
+    * and a span of length L shares L−k+1 of them). Output per doc:
+    * `n_grams` (= max(words−k+1, 1)), `n_dup_grams` (grams whose
+    * content occurs elsewhere in the corpus — or twice in this doc),
+    * and their ratio.
+    *
+    * Scale shape: stride-1 explode is rows × ~words/1 — k× the segment
+    * explode — then the same 16-byte-md5 window shuffle and per-doc
+    * re-agg as [[segmentStats]]. Use for measurement and flagging;
+    * removal policy belongs to [[duplicateSpans]] consumers.
+    */
+  def rollingGramStats(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    rollingGramRows(df, keyCol, textCol, k)
+      .select(col("id"), md5(col("gram").cast("binary")).as("_h"))
+      .select(col("id"), count(lit(1)).over(w).as("_c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_gram_ratio",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .withColumnRenamed("id", keyCol)
+  }
+
+  /** Merged duplicated SPANS per document: the word-index intervals
+    * covered by corpus-duplicated rolling k-grams, overlapping-or-
+    * adjacent intervals merged (classic island detection: a new island
+    * starts when a gram begins past the running max end + 1). Output
+    * `(key, span_start, span_end)` — inclusive word indices, one row
+    * per maximal duplicated region; docs with no duplicated gram emit
+    * nothing. This is the detection layer of suffix-array-style
+    * substring dedup: what to DO with a span (drop it from all but one
+    * occurrence, drop the doc, weight it down) is downstream policy.
+    *
+    * Scale shape: the same gram explode + duplicate-flag window as
+    * [[rollingGramStats]], then one per-doc window ordered by gram
+    * start (bounded by the doc's own gram count) for the island
+    * cumsum, and a (doc, island) hash re-agg.
+    */
+  def duplicateSpans(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("end")).over(
+      dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    rollingGramRows(df, keyCol, textCol, k)
+      .select(col("id"), col("_n"), col("pos"),
+        md5(col("gram").cast("binary")).as("_h"))
+      .withColumn("_c", count(lit(1)).over(hw))
+      .where(col("_c") > 1)
+      .withColumn("end", least(col("pos") + (k - 1), col("_n") - 1))
+      .withColumn("_new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("end")).cast("long").as("span_end"))
+      .withColumnRenamed("id", keyCol)
+      .select(col(keyCol), col("span_start"), col("span_end"))
+  }
+
   /** Materialized segment index: the corpus's DISTINCT segment
     * fingerprints (16-byte md5 of each width-word chunk), parquet-
     * partitioned by fingerprint hash — the segment-granularity sibling

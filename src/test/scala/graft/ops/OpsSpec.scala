@@ -934,6 +934,42 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rw(13L) == (("", 2L, 0L)))                  // fully deduplicated, row kept
   }
 
+  test("rollingGramStats catches a SHIFTED copy that fixed-window segments miss") {
+    // doc 31 repeats doc 30's words 3..11 at a different offset: no
+    // width-3 chunk boundary aligns, but rolling 3-grams collide
+    val docs = Seq(
+      (30L, "a b c d e f g h i j k l"),
+      (31L, "x y d e f g h i j k z w")
+    ).toDF("doc_id", "text")
+    val seg = Dedup.segmentStats(docs, "doc_id", "text", width = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg == Map(30L -> 0L, 31L -> 0L),
+      "chunked segments must NOT align across the shift (that is the gap)")
+    val roll = Dedup.rollingGramStats(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // shared word run d..k (8 words) → 6 shared 3-grams in each doc
+    assert(roll == Map(30L -> ((10L, 6L)), 31L -> ((10L, 6L))))
+  }
+
+  test("duplicateSpans: dup grams merge into maximal word-index spans") {
+    val docs = Seq(
+      // doc 41 copies doc 40's words 0-4 AND words 8-12, separated by
+      // unique filler → two maximal spans, not one
+      (40L, "p q r s t u1 u2 u3 m n o v w"),
+      (41L, "p q r s t f1 f2 f3 m n o v w")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // grams 0..2 cover words 0-4; grams 8..10 cover words 8-12
+    assert(spans == Set((40L, 0L, 4L), (41L, 0L, 4L),
+      (40L, 8L, 12L), (41L, 8L, 12L)))
+    // a doc with no duplicated gram emits nothing
+    val lone = Dedup.duplicateSpans(
+      docs.union(Seq((42L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")),
+      "doc_id", "text", k = 3)
+    assert(!lone.collect().map(_.getLong(0)).contains(42L))
+  }
+
   test("segmentIncrementalRewrite: old wins regardless of key order; append feeds the next probe") {
     val idx = java.nio.file.Files.createTempDirectory("graft_segidx").toString + "/idx"
     // OLD corpus has LARGER keys than the batch — key order must not
