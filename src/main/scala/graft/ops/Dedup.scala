@@ -605,6 +605,32 @@ object Dedup {
     */
   def rollingGramStats(df: DataFrame, keyCol: String, textCol: String,
       k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    // the codegen'd kernel hashes grams straight off one byte pass —
+    // no gram strings materialize, and the shuffle key is 8 bytes
+    // (collision odds ~2⁻⁶⁴ per gram pair miscount one gram — the
+    // ngramJaccardPairs key argument; [[rollingGramStatsRef]] is the
+    // string-keyed reference, count-equivalent by OpsSpec)
+    df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("id"),
+        EU.column(RollingHashes(EU.expression(col(textCol)), k)).as("_hs"))
+      .select(col("id"), explode(col("_hs")).as("_h"))
+      .select(col("id"), count(lit(1)).over(w).as("_c"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_gram_ratio",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      .withColumnRenamed("id", keyCol)
+  }
+
+  /** String-keyed reference form of [[rollingGramStats]] (the gram
+    * CONTENT is the grouping key — collision-free, ~k× the
+    * allocation); retained as the kernel's differential oracle.
+    */
+  private[ops] def rollingGramStatsRef(df: DataFrame, keyCol: String,
+      textCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     rollingGramRows(df, keyCol, textCol, k)
       .select(col("id"), md5(col("gram").cast("binary")).as("_h"))

@@ -951,6 +951,21 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(roll == Map(30L -> ((10L, 6L)), 31L -> ((10L, 6L))))
   }
 
+  test("RollingHashes kernel ≡ string-keyed reference across gram widths and edge shapes") {
+    val rnd = new scala.util.Random(47)
+    def doc(): String = (0 until 1 + rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
+    val edge = Seq((9000L, ""), (9001L, "solo"), (9002L, "a b c"),
+      (9003L, "x x x x x x"), (9004L, "a  b")) // doubled space → empty word
+    val docs = ((0 until 300).map(i => (i.toLong, doc())) ++ edge).toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val got = Dedup.rollingGramStats(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Dedup.rollingGramStatsRef(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"k=$k kernel diverged from the string-keyed reference")
+    }
+  }
+
   test("duplicateSpans: dup grams merge into maximal word-index spans") {
     val docs = Seq(
       // doc 41 copies doc 40's words 0-4 AND words 8-12, separated by
