@@ -115,6 +115,15 @@ object GraftFunctions {
             "token_grams(tokens ARRAY<INT> [, n INT])")
           val n = if (args.length == 2) intArg(args(1), "n") else 3
           graft.ops.TokenGrams(args(0), n)
+        }),
+      (
+        new FunctionIdentifier("rolling_hashes"),
+        new ExpressionInfo(classOf[graft.ops.RollingHashes].getName, "rolling_hashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "rolling_hashes(text STRING [, k INT])")
+          val k = if (args.length == 2) intArg(args(1), "k") else 8
+          graft.ops.RollingHashes(args(0), k)
         }))
 
   /** Install into a live session (same registrations as the extension),

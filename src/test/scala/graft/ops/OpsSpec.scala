@@ -951,6 +951,20 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(roll == Map(30L -> ((10L, 6L)), 31L -> ((10L, 6L))))
   }
 
+  test("rolling_hashes SQL registration ≡ the Scala expression form") {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    graft.GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("rollhash_t")
+    val sqlForm = spark.sql(
+      "SELECT doc_id, rolling_hashes(text, 3) AS hs FROM rollhash_t WHERE text IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val scalaForm = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        EU.column(RollingHashes(EU.expression(col("text")), 3)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlForm == scalaForm)
+  }
+
   test("RollingHashes kernel ≡ string-keyed reference across gram widths and edge shapes") {
     val rnd = new scala.util.Random(47)
     def doc(): String = (0 until 1 + rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(9)}").mkString(" ")
