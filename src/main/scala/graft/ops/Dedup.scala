@@ -660,14 +660,42 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, keyCol: String, textCol: String,
       k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    // kernel path (same keys as rollingGramStats); the struct variant
+    // carries the word count the short-doc end clamp needs downstream
+    // of the explode — `_s` is a non-cheap multi-referenced alias, so
+    // the kernel runs once per row
+    val spanRows = df
+      .where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol).as("id"),
+        EU.column(RollingHashesWithCount(EU.expression(col(textCol)), k)).as("_s"))
+      .select(col("id"), col("_s.n_words").as("_n"),
+        posexplode(col("_s.hs")).as(Seq("pos", "_h")))
+    duplicateSpansFrom(spanRows, keyCol, k)
+  }
+
+  /** String-keyed reference form of [[duplicateSpans]] (gram CONTENT as
+    * the grouping key); the kernel's differential oracle.
+    */
+  private[ops] def duplicateSpansRef(df: DataFrame, keyCol: String,
+      textCol: String, k: Int): DataFrame =
+    duplicateSpansFrom(
+      rollingGramRows(df, keyCol, textCol, k)
+        .select(col("id"), col("_n"), col("pos"),
+          md5(col("gram").cast("binary")).as("_h")),
+      keyCol, k)
+
+  /** Shared tail: dup-flag window → short-doc end clamp → island merge.
+    * Input: `(id, _n, pos, _h)`.
+    */
+  private def duplicateSpansFrom(rows: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
     val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     val dw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val prevMaxEnd = max(col("end")).over(
       dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    rollingGramRows(df, keyCol, textCol, k)
-      .select(col("id"), col("_n"), col("pos"),
-        md5(col("gram").cast("binary")).as("_h"))
+    rows
       .withColumn("_c", count(lit(1)).over(hw))
       .where(col("_c") > 1)
       .withColumn("end", least(col("pos") + (k - 1), col("_n") - 1))

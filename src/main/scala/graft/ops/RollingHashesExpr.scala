@@ -55,6 +55,27 @@ final class RollingHashesKernel(k: Int) extends Serializable {
     new GenericArrayData(out)
   }
 
+  /** [[compute]] plus the doc's word count, as `struct(n_words, hs)` —
+    * for consumers that need the count downstream of the explode (the
+    * span end clamp for docs shorter than `k`) without a second
+    * tokenization pass.
+    */
+  def computeWithCount(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val hs = compute(text)
+    val nGrams = hs.numElements()
+    // grams = max(words − k + 1, 1): words recoverable except when the
+    // single-gram case is a SHORT doc — recount cheaply from the bytes
+    val nWords =
+      if (nGrams > 1) nGrams + k - 1
+      else {
+        val bytes = text.getBytes
+        var n = 1; var i = 0
+        while (i < bytes.length) { if (bytes(i) == ' ') n += 1; i += 1 }
+        n
+      }
+    org.apache.spark.sql.catalyst.InternalRow(nWords, hs)
+  }
+
   private final val Fnv64Offset = 0xcbf29ce484222325L
   private final val Fnv64Prime = 0x100000001b3L
   private final val GramMult = 0x9e3779b185ebca87L // odd → invertible mod 2^64
@@ -78,6 +99,42 @@ final class RollingHashesKernel(k: Int) extends Serializable {
   *
   * Null semantics: null text → null (validation owns nulls).
   */
+/** `RollingHashesWithCount(text, k)` — `struct(n_words, hs)`: the same
+  * rolling-gram keys plus the doc's word count, for consumers (the
+  * span merger) that need the short-doc end clamp after the explode
+  * without re-tokenizing.
+  */
+case class RollingHashesWithCount(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"rolling grams need k >= 1, got $k")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_words",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("hs",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "rolling_hashes_n"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hashes_n expects string, got ${other.simpleString}")
+  }
+
+  @transient private lazy val kernel = new RollingHashesKernel(k)
+
+  override def nullSafeEval(t: Any): Any =
+    kernel.computeWithCount(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kn = ctx.addReferenceObj("rollingHashesKernel", kernel,
+      classOf[RollingHashesKernel].getName)
+    defineCodeGen(ctx, ev, c => s"$kn.computeWithCount($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class RollingHashes(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"rolling grams need k >= 1, got $k")
 

@@ -980,6 +980,27 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("duplicateSpans kernel ≡ string-keyed reference, incl. short-doc end clamps") {
+    val rnd = new scala.util.Random(53)
+    def doc(): String = (0 until 1 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    // tiny vocab → plenty of cross-doc dup grams; short docs (< k
+    // words) exercise the recounted end clamp
+    val docs = ((0 until 250).map(i => (i.toLong, doc())) ++
+      Seq((8000L, "w0 w1"), (8001L, "w0 w1"))).toDF("doc_id", "text")
+    for (kk <- Seq(3, 8)) {
+      val got = Dedup.duplicateSpans(docs, "doc_id", "text", kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Dedup.duplicateSpansRef(docs, "doc_id", "text", kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"k=$kk kernel spans diverged from the reference")
+    }
+    // the clamp itself: the 2-word dup docs span words 0..1, not 0..k-1
+    val short = Dedup.duplicateSpans(docs, "doc_id", "text", 8)
+      .where(col("doc_id") >= 8000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(short == Set((8000L, 0L, 1L), (8001L, 0L, 1L)))
+  }
+
   test("duplicateSpans: dup grams merge into maximal word-index spans") {
     val docs = Seq(
       // doc 41 copies doc 40's words 0-4 AND words 8-12, separated by
