@@ -558,6 +558,9 @@ object SparkEntry {
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(read(s, dir, "documents"), "doc_id", "text")),
 
+    "dedup_span_frac" -> ((s, dir) =>
+      Dedup.duplicateSpanFraction(read(s, dir, "documents"), "doc_id", "text")),
+
     // incremental line dedup: batch (doc_id%10=7) rewritten against the
     // rest-of-corpus segment index — batch ids interleave with old ids,
     // so the old-wins rule is genuinely exercised (not just first-occ)
@@ -1442,6 +1445,37 @@ object SparkEntry {
             SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                    CAST(max(e) AS BIGINT) AS span_end
             FROM i GROUP BY doc_id, island""",
+
+      // per-doc duplicated-word fraction: islands are disjoint, so
+      // span lengths sum exactly; span-free docs report 0
+      "dedup_span_frac" ->
+        s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+            g AS (SELECT doc_id, n, u.pos AS pos, u.gram AS gram FROM (
+              SELECT doc_id, len(w) AS n,
+                     unnest(list_transform(range(0, greatest(len(w) - 8, 0) + 1),
+                i -> {'pos': i, 'gram': array_to_string(list_slice(w, i+1, i+8), ' ')})) AS u
+              FROM t)),
+            d AS (SELECT doc_id, pos, least(pos + 7, n - 1) AS e FROM (
+                    SELECT *, count(*) OVER (PARTITION BY gram) AS c FROM g)
+                  WHERE c > 1),
+            m AS (SELECT doc_id, pos, e,
+                    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+                  FROM d),
+            i AS (SELECT doc_id, pos, e,
+                    sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+                  FROM m),
+            sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+                   FROM i GROUP BY doc_id, island),
+            dw AS (SELECT doc_id, CAST(sum(e2 - s + 1) AS BIGINT) AS dup_words
+                   FROM sp GROUP BY doc_id),
+            nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM t)
+            SELECT nw.doc_id, n_words, COALESCE(dup_words, 0) AS dup_words,
+                   round(COALESCE(dup_words, 0) / CAST(n_words AS DOUBLE), 6) AS dup_word_ratio
+            FROM nw LEFT JOIN dw ON nw.doc_id = dw.doc_id""",
 
       // old-wins incremental rewrite: a batch segment survives iff NO
       // old doc carries it AND it is the batch-internal first occurrence

@@ -674,6 +674,36 @@ object Dedup {
     duplicateSpansFrom(spanRows, keyCol, k)
   }
 
+  /** Per-document duplicated-WORD fraction — the gate-able scalar on
+    * top of [[duplicateSpans]]: `dup_words` = words covered by merged
+    * duplicated spans (islands are disjoint by construction, so their
+    * lengths sum exactly), `dup_word_ratio` = that over the doc's word
+    * count. Docs with no duplicated gram report 0, not absence —
+    * filterable like [[graft.ops.TextOps.repetitionFeatures]] but
+    * CROSS-corpus. Same kernel scan + two windows as the spans op,
+    * plus one per-doc re-agg.
+    */
+  def duplicateSpanFraction(df: DataFrame, keyCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    // one scan-side pass for the word counts, one spans run for the
+    // covered words; the spans side is corpus-duplicated-only (small),
+    // so the left join back is cheap relative to the gram shuffle
+    val counts = df
+      .where(col(keyCol).isNotNull && col(textCol).isNotNull)
+      .select(col(keyCol),
+        EU.column(RollingHashesWithCount(EU.expression(col(textCol)), k))
+          .getField("n_words").cast("long").as("n_words"))
+    val spans = duplicateSpans(df, keyCol, textCol, k)
+      .groupBy(col(keyCol))
+      .agg(sum(col("span_end") - col("span_start") + 1L).as("_dw"))
+    counts.join(spans, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_words"),
+        coalesce(col("_dw"), lit(0L)).as("dup_words"),
+        round(coalesce(col("_dw"), lit(0L)).cast("double") /
+          col("n_words"), 6).as("dup_word_ratio"))
+  }
+
   /** String-keyed reference form of [[duplicateSpans]] (gram CONTENT as
     * the grouping key); the kernel's differential oracle.
     */

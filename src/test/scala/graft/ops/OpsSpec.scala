@@ -1018,6 +1018,12 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       docs.union(Seq((42L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")),
       "doc_id", "text", k = 3)
     assert(!lone.collect().map(_.getLong(0)).contains(42L))
+    // the gate-able scalar: 10 of 13 words covered; span-free doc → 0
+    val frac = Dedup.duplicateSpanFraction(
+      docs.union(Seq((42L, "zz1 zz2 zz3 zz4")).toDF("doc_id", "text")),
+      "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(frac == Map(40L -> ((13L, 10L)), 41L -> ((13L, 10L)), 42L -> ((4L, 0L))))
   }
 
   test("segmentIncrementalRewrite: old wins regardless of key order; append feeds the next probe") {
