@@ -68,6 +68,7 @@ object AssemblyPipeline {
       mixTokenBudget: Long = 0L,
       minQuality: Double = 0.0,
       maxRepetition: Double = 1.0,
+      maxDupSpanFraction: Double = 1.0,
       mixMaxEpochs: Double = 1.0,
       outDir: Option[String] = None): StageCounts = {
     val nInput = docs.count()
@@ -110,17 +111,29 @@ object AssemblyPipeline {
       s"one survivor per cluster: $nAfterNear != $nCanonical")
 
     // 3.5) quality gate (Gopher-style filtering after dedup): drop
-    //    survivors below the quality floor or above the intra-doc
-    //    repetition ceiling. Both scores are shuffle-free scan-side
-    //    operators; no-op thresholds skip the scans entirely.
+    //    survivors below the quality floor, above the intra-doc
+    //    repetition ceiling, or above the CROSS-corpus duplicated-span
+    //    ceiling (partial copies near-dedup's whole-doc similarity
+    //    misses — a C4-style filter: BOTH members of a partial-copy
+    //    pair drop, this is filtering, not survivor selection). The
+    //    quality/repetition scores are shuffle-free scan passes; the
+    //    span fraction adds the rolling-gram shuffle only when its
+    //    threshold is active. No-op thresholds skip everything.
     val (nQualityDropped, afterQuality) =
-      if (minQuality <= 0.0 && maxRepetition >= 1.0) (0L, afterNear)
+      if (minQuality <= 0.0 && maxRepetition >= 1.0 && maxDupSpanFraction >= 1.0)
+        (0L, afterNear)
       else {
         val lowQ = TextOps.qualityFeatures(afterNear, "text")
           .where(col("quality") < minQuality).select("doc_id")
         val highRep = TextOps.repetitionFeatures(afterNear, "doc_id", "text")
           .where(col("dup_ratio") > maxRepetition).select("doc_id")
-        val drops = stage(lowQ.union(highRep).distinct())
+        val gates =
+          if (maxDupSpanFraction >= 1.0) lowQ.union(highRep)
+          else lowQ.union(highRep).union(
+            Dedup.duplicateSpanFraction(afterNear, "doc_id", "text")
+              .where(col("dup_word_ratio") > maxDupSpanFraction)
+              .select("doc_id"))
+        val drops = stage(gates.distinct())
         (drops.count(), stage(afterNear.join(drops, Seq("doc_id"), "left_anti")))
       }
     val nAfterQuality = afterQuality.count()

@@ -175,6 +175,7 @@ object Main {
         mixTokenBudget = opt("--mixTokenBudget", "0").toLong,
         minQuality = opt("--minQuality", "0.0").toDouble,
         maxRepetition = opt("--maxRepetition", "1.0").toDouble,
+        maxDupSpanFraction = opt("--maxDupSpanFraction", "1.0").toDouble,
         mixMaxEpochs = opt("--mixMaxEpochs", "1.0").toDouble,
         outDir = Some(args(2)))
       val sec = (System.nanoTime() - t0) / 1e9

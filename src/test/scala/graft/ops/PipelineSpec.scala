@@ -183,6 +183,40 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"sampled tokens $sampledTokens vs budget $budget")
   }
 
+  test("assembly cross-corpus span gate drops partial copies near-dedup missed") {
+    // 20 pairs sharing a 12-of-60-word span at DIFFERENT offsets: too
+    // little whole-doc similarity for minhash (j ≈ 0.09) and shifted
+    // past any chunk grid, but 5 shared rolling 8-grams → span
+    // fraction 12/60 = 0.2. A C4-style filter drops BOTH members of
+    // every pair that near-dedup did not already collapse — exact
+    // arithmetic via the observed collapse count.
+    val nPairs = 20
+    val uniq = (0 until 100).map(i =>
+      (i.toLong, (0 until 60).map(j => s"u${i}w$j").mkString(" ")))
+    val pairs = (0 until nPairs).flatMap { i =>
+      val shared = (0 until 12).map(j => s"s${i}w$j").mkString(" ")
+      val even = (0 until 10).map(j => s"a${i}w$j").mkString(" ") +
+        s" $shared " + (0 until 38).map(j => s"b${i}w$j").mkString(" ")
+      val odd = (0 until 30).map(j => s"c${i}w$j").mkString(" ") +
+        s" $shared " + (0 until 18).map(j => s"d${i}w$j").mkString(" ")
+      Seq((1000L + 2 * i, even), (1001L + 2 * i, odd))
+    }
+    val docs = (uniq ++ pairs).toDF("doc_id", "text")
+      .withColumn("source", lit("src0"))
+    val c = graft.AssemblyPipeline.run(spark, docs, benchPred = lit(false),
+      maxDupSpanFraction = 0.1)
+    assert(c.nExactDropped == 0)
+    // a pair near-dedup collapsed has its span de-duplicated (the
+    // surviving member's grams are unique again) → gate-exempt
+    val collapsedPairs = c.nAfterExact - c.nAfterNear
+    assert(c.nQualityDropped == 2L * (nPairs - collapsedPairs),
+      s"gate must drop both members of each surviving pair: " +
+        s"${c.nQualityDropped} != 2*($nPairs - $collapsedPairs)")
+    assert(c.nQualityDropped > 0,
+      "some pairs must survive near-dedup for the gate to be exercised")
+    assert(c.nAfterDecon == c.nAfterQuality, "empty bench slice")
+  }
+
   test("assembly with upsampling mixture: a scarce stratum repeats to hit its share") {
     val rows = 20000L
     val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
