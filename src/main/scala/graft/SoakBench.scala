@@ -359,6 +359,43 @@ object SoakBench {
       Dedup.exactIncrementalDuplicates(spark, s"$data-fpidx",
         docs.where(idNum === 7), "doc_id", "text").count()
     }
+    run("minhash_incr_index") {
+      // one-time corpus band-index build for NEAR-dup incremental
+      // (the minhash sibling of exact_incr_index); out_rows = band
+      // rows = 4 bands × rest-corpus docs exactly.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      val rest = docs.where(idNum =!= 7)
+      Dedup.minhashWriteIndex(rest, "doc_id", "text", s"$data-mhidx")
+      val n = spark.read.parquet(s"$data-mhidx").count()
+      require(n == 4 * rest.count(), s"band rows must be 4 x rest docs: $n")
+      n
+    }
+    run("minhash_incr_probe") {
+      // the per-batch near-dup cost: the ~rows/101 daily batch probes
+      // the band index. The exact-dup lane is a hard FLOOR (identical
+      // text → identical signature → every band matches: >= batch·2/16
+      // pairs, modulo the ~1/101 partners landing inside the batch);
+      // near-lane and pool-collision pairs add a data-dependent tail
+      // (the full-corpus run found ~0.24 pairs/doc at this pool), so
+      // the ceiling is loose. The scale claim is the SHAPE: batch-only
+      // signatures, corpus text never re-read. At the test-scale
+      // default of 256 partition buckets a ~790k-band batch hits EVERY
+      // bucket (pruning is a documented no-op here — it bites when
+      // nPartBuckets ≫ batch bands, the minhashWriteIndex sizing
+      // rule), so the measured win at 20M is the ~2× of skipping
+      // corpus signature recomputation, not the 10-100× a
+      // production-sized bucket count delivers by reading only the
+      // batch's buckets.
+      val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(101))
+      val batch = docs.where(idNum === 7)
+      val nBatch = batch.count()
+      val pairs = Dedup.minhashIncrementalPairs(spark, s"$data-mhidx",
+        batch, "doc_id", "text").count()
+      require(pairs >= nBatch * 2 / 16 * 97 / 100,
+        s"probe pairs $pairs below the exact-lane floor (${nBatch * 2 / 16})")
+      require(pairs <= nBatch, s"probe pairs $pairs above the loose ceiling $nBatch")
+      pairs
+    }
     run("profile_batches_merge") {
       // mergeable artifacts over the pre-tokenized shape: 64 per-batch
       // profile rows (counts, min/max, HLL incl. ~20M-distinct doc_id,
