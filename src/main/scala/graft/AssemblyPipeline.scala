@@ -119,21 +119,25 @@ object AssemblyPipeline {
     //    quality/repetition scores are shuffle-free scan passes; the
     //    span fraction adds the rolling-gram shuffle only when its
     //    threshold is active. No-op thresholds skip everything.
+    // each lane runs only when its own threshold can drop anything —
+    // a vacuous predicate (quality < 0.0, dup_ratio > 1.0) would still
+    // cost a full-corpus scan pass just to select zero rows
+    val gateLanes = Seq(
+      Option.when(minQuality > 0.0)(
+        TextOps.qualityFeatures(afterNear, "text")
+          .where(col("quality") < minQuality).select("doc_id")),
+      Option.when(maxRepetition < 1.0)(
+        TextOps.repetitionFeatures(afterNear, "doc_id", "text")
+          .where(col("dup_ratio") > maxRepetition).select("doc_id")),
+      Option.when(maxDupSpanFraction < 1.0)(
+        Dedup.duplicateSpanFraction(afterNear, "doc_id", "text")
+          .where(col("dup_word_ratio") > maxDupSpanFraction)
+          .select("doc_id"))
+    ).flatten
     val (nQualityDropped, afterQuality) =
-      if (minQuality <= 0.0 && maxRepetition >= 1.0 && maxDupSpanFraction >= 1.0)
-        (0L, afterNear)
+      if (gateLanes.isEmpty) (0L, afterNear)
       else {
-        val lowQ = TextOps.qualityFeatures(afterNear, "text")
-          .where(col("quality") < minQuality).select("doc_id")
-        val highRep = TextOps.repetitionFeatures(afterNear, "doc_id", "text")
-          .where(col("dup_ratio") > maxRepetition).select("doc_id")
-        val gates =
-          if (maxDupSpanFraction >= 1.0) lowQ.union(highRep)
-          else lowQ.union(highRep).union(
-            Dedup.duplicateSpanFraction(afterNear, "doc_id", "text")
-              .where(col("dup_word_ratio") > maxDupSpanFraction)
-              .select("doc_id"))
-        val drops = stage(gates.distinct())
+        val drops = stage(gateLanes.reduce(_ union _).distinct())
         (drops.count(), stage(afterNear.join(drops, Seq("doc_id"), "left_anti")))
       }
     val nAfterQuality = afterQuality.count()

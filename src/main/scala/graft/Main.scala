@@ -157,8 +157,11 @@ object Main {
       }.getOrElse(dflt)
       def rateMap(s: String): Map[String, Double] =
         s.split(",").filter(_.nonEmpty).map { kv =>
-          val Array(k, v) = kv.split("=")
-          k -> v.toDouble
+          kv.split("=") match {
+            case Array(k, v) => k -> v.toDouble
+            case _ => sys.error(
+              s"malformed rate entry '$kv' — expected key=value (e.g. web=0.5,code=1.0)")
+          }
         }.toMap
       // held-out eval slice by key hash: stable under any partitioning
       val benchMod = opt("--benchMod", "1000").toLong
@@ -190,7 +193,7 @@ object Main {
         "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
         "       graft.Main infer <inputParquetDir|gen:N> [enumMax]\n" +
         "       graft.Main profile <inputParquetDir|gen:N> <artifactDir> [--batchCol c] [--cols c1,c2] [--histCol c] [--bucketWidth w] [--nBuckets n]\n" +
-        "       graft.Main assemble <documentsParquetDir> <outDir> [--benchMod M] [--contamThreshold t] [--rates s=r,...] [--defaultRate r] [--packBudget B] [--mixShares s=w,...] [--mixTokenBudget T] [--minQuality q] [--maxRepetition r]")
+        "       graft.Main assemble <documentsParquetDir> <outDir> [--benchMod M] [--contamThreshold t] [--rates s=r,...] [--defaultRate r] [--packBudget B] [--mixShares s=w,...] [--mixTokenBudget T] [--mixMaxEpochs e] [--minQuality q] [--maxRepetition r] [--maxDupSpanFraction f]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))

@@ -60,6 +60,54 @@ object SoakBench {
           .otherwise(concat_ws(" ", words: _*)).as("text"))
   }
 
+  /** Mega-hot-key corpora for the skew lanes: ONE content fingerprint
+    * carrying HALF the corpus — the Zipf-head regime the salted
+    * occurrence attach exists for (a `PARTITION BY fingerprint` window
+    * would route all ~rows/2 occurrences to one buffering task).
+    * Deterministic and collision-free: non-hot words embed the doc id.
+    *
+    * `wholeDoc = true`: odd ids are ONE identical 24-word document
+    * (exact-dedup hot group of rows/2). `wholeDoc = false`: odd ids
+    * share their first 8 words (ONE hot width-8 segment and ONE hot
+    * rolling 8-gram, each duplicated rows/2 times) with unique tails,
+    * even ids fully unique — so Σ n_dup_segments = Σ n_dup_grams =
+    * rows/2 EXACTLY.
+    */
+  def megahotCorpus(spark: SparkSession, rows: Long,
+      wholeDoc: Boolean): DataFrame = {
+    val hot = (0 until 8).map(j => s"hot$j").mkString(" ")
+    def uniq(tag: String, j: Int) =
+      concat(lit(s" $tag"), col("id").cast("string"), lit(s"_$j"))
+    val oddText =
+      if (wholeDoc) lit(((0 until 24).map(j => s"same$j")).mkString(" ")) +: Nil
+      else lit(hot) +: (8 until 24).map(j => uniq("o", j))
+    val evenText = lit("e0") +: (1 until 24).map(j => uniq("e", j))
+    spark.range(rows).select(
+      concat(lit("d"), col("id").cast("string")).as("doc_id"),
+      when(pmod(col("id"), lit(2L)) === 1L, concat(oddText: _*))
+        .otherwise(concat(evenText: _*)).as("text"))
+  }
+
+  /** Max single-task duration observed while `f` runs — the straggler
+    * evidence for the mega-hot lanes: a hot-key cliff shows up as ONE
+    * task's duration approaching the whole op's wall time.
+    */
+  private def withMaxTask(spark: SparkSession)(f: => Long): (Long, Long) = {
+    val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null)
+          maxMs.accumulateAndGet(e.taskInfo.duration, Math.max)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = f
+      Thread.sleep(1000) // listener delivery is async; drain the bus
+      (out, maxMs.get())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   /** Run `f`, returning (seconds, output rows, peak heap-used MB during
     * the op). The peak is sampled at 50 ms from `MemoryMXBean` — the
     * whole-heap used figure at one instant. (Summing per-pool
@@ -275,6 +323,63 @@ object SoakBench {
         s"span count $n outside band around $want")
       n
     }
+    // ---- mega-hot-key lanes: ONE fingerprint = HALF the corpus ----
+    // The round-4 finding: count/min OVER (PARTITION BY fingerprint)
+    // had no hot-key defense — a Zipf-head gram or mega-duplicated
+    // boilerplate doc materialized in ONE window task. These lanes
+    // prove the salted attach holds at the adversarial extreme: a
+    // 10M-times-duplicated doc / segment / 8-gram at 20M rows. Each
+    // stage require's the EXACT injection arithmetic AND that no
+    // single task dominates the op (straggler evidence via listener).
+    val megaWhole = s"/tmp/graft_soak_megawhole_$rows"
+    val megaSeg = s"/tmp/graft_soak_megaseg_$rows"
+    if (only.forall(o => o.exists(_.endsWith("_megahot")))) {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(megaWhole)))
+        megahotCorpus(spark, rows, wholeDoc = true)
+          .write.mode("overwrite").parquet(megaWhole)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(megaSeg)))
+        megahotCorpus(spark, rows, wholeDoc = false)
+          .write.mode("overwrite").parquet(megaSeg)
+    }
+    def runMega(op: String)(f: => Long): Unit = run(op) {
+      val t0 = System.nanoTime()
+      val (out, maxTaskMs) = withMaxTask(spark)(f)
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      println(f"""{"op":"$op.max_task","max_task_sec":${maxTaskMs / 1e3}%.1f}""")
+      require(maxTaskMs > 0, "listener must observe tasks")
+      // the straggler gate: under the old window form the hot key's one
+      // task IS the op (max task ≈ wall); salted, the hottest slice is
+      // ~rows/2/OccSalts rows — comparable to an average partition
+      require(maxTaskMs <= wallMs * 0.5,
+        f"straggler: max task ${maxTaskMs / 1e3}%.1f s dominates ${wallMs / 1e3}%.1f s wall")
+      out
+    }
+    runMega("exact_dup_megahot") {
+      // rows/2 identical docs = one fp group; drop list = rows/2 - 1
+      val n = Dedup.exactDuplicates(
+        spark.read.parquet(megaWhole), "doc_id", "text").count()
+      require(n == rows / 2 - 1, s"mega exact drop list $n != ${rows / 2 - 1}")
+      n
+    }
+    runMega("segment_dedup_megahot") {
+      // ONE segment fingerprint duplicated rows/2 times; tails unique
+      val st = Dedup.segmentStats(
+          spark.read.parquet(megaSeg), "doc_id", "text", width = 8)
+        .agg(sum("n_segments"), sum("n_dup_segments")).collect()(0)
+      require(st.getLong(0) == 3 * rows, s"mega segments ${st.getLong(0)}")
+      require(st.getLong(1) == rows / 2, s"mega dup segments ${st.getLong(1)}")
+      st.getLong(1)
+    }
+    runMega("rolling_dedup_megahot") {
+      // ONE 8-gram (words 0-7 of odd docs) duplicated rows/2 times
+      val st = Dedup.rollingGramStats(
+          spark.read.parquet(megaSeg), "doc_id", "text", k = 8)
+        .agg(sum("n_grams"), sum("n_dup_grams")).collect()(0)
+      require(st.getLong(0) == 17 * rows, s"mega grams ${st.getLong(0)}")
+      require(st.getLong(1) == rows / 2, s"mega dup grams ${st.getLong(1)}")
+      st.getLong(1)
+    }
+
     run("segment_index_build") {
       // one-time segment-vocabulary index over the rest-of-corpus
       // (everything outside the id%101==7 "daily" batch). out_rows =

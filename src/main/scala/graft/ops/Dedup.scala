@@ -19,6 +19,120 @@ object Dedup {
 
   private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Salt fan-out of [[attachDupGroups]]: a content fingerprint hotter
+    * than ~task-size spreads over this many (fingerprint, salt) slices.
+    */
+  val OccSalts = 64
+
+  /** Row-count ceiling for the incremental probes' broadcast of the
+    * batch's distinct key set. The daily-ingest contract says increments
+    * are small; this makes the contract ENFORCED instead of narrated — a
+    * corpus-sized "batch" falls back to a shuffle semi join (same
+    * output) rather than a driver OOM. ~4M 16-byte keys ≈ 64 MB, inside
+    * a default driver heap with room to spare.
+    */
+  val MaxBroadcastKeys = 4000000L
+
+  /** Broadcast-when-small semi-join guard shared by the incremental
+    * probes: LEFT SEMI of `big` against `keys`, broadcasting the key set
+    * only below [[MaxBroadcastKeys]] rows (the count is one action over
+    * the already-small batch side). Above it, the plain join lets Spark
+    * plan a shuffle semi join — identical output, no driver collect.
+    */
+  private def semiJoinSmall(big: DataFrame, keys: DataFrame,
+      on: Seq[String], maxBroadcastKeys: Long): DataFrame =
+    if (keys.count() <= maxBroadcastKeys) big.join(broadcast(keys), on, "left_semi")
+    else big.join(keys, on, "left_semi")
+
+  /** Skew-safe replacement for `agg(...) OVER (PARTITION BY hCol)` on a
+    * corpus-scale content-fingerprint key: the group minimum `_first`
+    * (min over `orderCols`, then the remaining payload columns — a
+    * plain value for a single payload column, a struct otherwise, an
+    * opaque marker when `orderCols` is empty) attached to every row of
+    * a DUPLICATED group, plus the group count `_c`. `joinType =
+    * "inner"` drops unique-content rows; `"left"` keeps them with null
+    * `_first`/`_c`. Null `hCol` rows are excluded (a null fingerprint
+    * is a validation concern, not a duplicate group). CALLERS MUST
+    * CONSUME `_first` — see the pruning note below.
+    *
+    * Why not the window: a window partition routes ALL rows of a key to
+    * ONE task and BUFFERS them (WindowExec holds the partition) — a
+    * Zipf-head 8-gram with df 10⁸ or a mega-duplicated boilerplate doc
+    * is a single-task latency/spill cliff at corpus scale, and AQE's
+    * skew handling splits joins, not windows (the same analysis as the
+    * two-level sessionization in [[graft.ops.Sessions]]).
+    *
+    * Shape: salt each row by `hash(saltCol) mod` [[OccSalts]] and
+    * repartition ONCE on (fingerprint, salt) — the hottest key now
+    * spreads over OccSalts slices by construction, and the explicit
+    * repartition makes the shuffled frame a SHARED exchange: the
+    * per-(fingerprint, salt) partial aggregation and the final
+    * join-back probe both read the same shuffle stage (ReuseExchange /
+    * AQE stage reuse — plan-asserted by OpsSpec), so the expensive
+    * scan (fingerprint md5 / gram-kernel explode) runs exactly once,
+    * the reason the window form was chosen originally. Partials
+    * collapse to ≤ OccSalts rows per fingerprint before the
+    * per-fingerprint total (count sum / min of mins — both
+    * salt-decomposable), totals filter to duplicated groups only and
+    * fan BACK out over the full salt range, so the probe join is keyed
+    * on (fingerprint, salt): it reuses the existing partitioning (no
+    * second corpus shuffle) and every join key group is bounded by
+    * hottest/OccSalts. Net cost vs the window: the same one scan + one
+    * corpus shuffle (read twice), plus two fingerprint-domain-sized
+    * aggregations.
+    *
+    * Exchange-identity engineering (why this code is shaped the way it
+    * is — the ReuseExchange above only fires when the two consumers'
+    * exchange subtrees canonicalize EQUAL, and two Catalyst rules break
+    * that silently): (a) ColumnPruning narrows the aggregation branch's
+    * projection to the grouping keys unless the aggregate references
+    * every payload column — so the `_pm` aggregate minimizes over ALL
+    * of them, and callers must keep `_first` consumed or the chain
+    * prunes away (count(struct(...)) does NOT work instead:
+    * NullPropagation rewrites count over a non-nullable child to
+    * count(1), dropping the references); (b) InferFiltersFromConstraints
+    * adds IsNotNull on inner-join keys and on columns in pushed-down
+    * post-join predicates to the probe branch only — so `hCol` is
+    * pre-filtered here and callers pre-filter any payload column their
+    * post-join predicates reference.
+    */
+  private def attachDupGroups(rows: DataFrame, hCol: String, saltCol: Column,
+      orderCols: Seq[String], joinType: String,
+      nSalts: Int = OccSalts): DataFrame = {
+    val payloadCols = (orderCols ++
+      rows.columns.filterNot(c => c == hCol || orderCols.contains(c)))
+      .map(col).toIndexedSeq
+    // with no caller ordering, min(xxhash64(payload)) keeps the
+    // aggregation hash-based (fixed-width buffer) while still
+    // referencing every payload column; with one, the real min(struct)
+    // is required and pays a sort-based aggregate — the same
+    // per-partition sort the window form paid
+    val pm =
+      if (orderCols.isEmpty) min(xxhash64(payloadCols: _*))
+      else if (payloadCols.size == 1) min(payloadCols.head)
+      else min(struct(payloadCols: _*))
+    // power-of-two bitmask, not pmod: Pmod is conservatively nullable
+    // (divisor zero), so the inner-join key inference would add
+    // IsNotNull(_salt) to the probe branch only and break the shared
+    // exchange; BitwiseAnd of non-nullable children is non-nullable
+    require(Integer.bitCount(nSalts) == 1, s"nSalts must be a power of two: $nSalts")
+    val rows2 = rows.where(col(hCol).isNotNull)
+      .withColumn("_salt", xxhash64(saltCol).bitwiseAND(lit(nSalts.toLong - 1)))
+    val shuffled = rows2.repartition(col(hCol), col("_salt"))
+    val partials = shuffled.groupBy(col(hCol), col("_salt"))
+      .agg(count(lit(1)).as("_pc"), pm.as("_pm"))
+    val totals = partials.groupBy(col(hCol))
+      .agg(sum(col("_pc")).as("_c"), min(col("_pm")).as("_first"))
+      .where(col("_c") > 1)
+    // fan the duplicated-group totals out over the full salt range
+    // (duplicated-vocabulary × nSalts rows — tiny next to re-shuffling
+    // the corpus on the bare fingerprint, which would also
+    // re-concentrate the hot key into one partition)
+    val salted = totals.withColumn("_salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
+    shuffled.join(salted, Seq(hCol, "_salt"), joinType).drop("_salt")
+  }
+
   /** Attach an observable dropped-bucket metric ahead of a bucket-cap
     * filter: `<op>_buckets_<n>` carries `n_buckets` (before the cap) and
     * `n_dropped_overcap`. The caps (default 2,000 — REDUCED from an
@@ -56,24 +170,28 @@ object Dedup {
 
   /** Rows to drop under exact dedup (everything but the survivor).
     *
-    * One corpus scan, one shuffle: the survivor and group size come
-    * from window aggregates over the fingerprint, so the
-    * normalize+md5 pass runs ONCE. The previous join-back formulation
-    * re-scanned and re-fingerprinted the full corpus for the probe
-    * side (Catalyst recomputes a twice-referenced subtree) — 2× the
-    * dominant cost at corpus scale, measured ~2.4× wall at 1M docs.
-    * NULL-text rows are excluded (a null fingerprint is a validation
-    * concern, not a duplicate group — same outcome the join version
-    * produced implicitly via null-key join semantics).
+    * One corpus scan, one corpus shuffle: the survivor and group size
+    * come from the skew-safe [[attachDupGroups]] (salted two-level
+    * aggregation + join-back over ONE shared exchange — the
+    * normalize+md5 pass still runs ONCE, unlike a naive join-back
+    * whose probe side re-fingerprints the corpus, measured ~2.4× wall
+    * at 1M docs). The previous `min/count OVER (PARTITION BY fp)` form
+    * had no hot-key defense: a mega-duplicated boilerplate doc (df
+    * 10⁸⁺ at a real 100-TB corpus) was one window partition = one
+    * buffering task. NULL-text rows are excluded (a null fingerprint
+    * is a validation concern, not a duplicate group — same outcome the
+    * join version produced implicitly via null-key join semantics).
     */
   def exactDuplicates(df: DataFrame, keyCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    df.select(fingerprint(col(textCol)).as("fp"), col(keyCol))
-      .where(col("fp").isNotNull)
-      .select(col(keyCol), min(col(keyCol)).over(w).as("keep_id"),
-        count(lit(1)).over(w).as("_n"))
-      .where(col("_n") > 1 && col(keyCol) =!= col("keep_id"))
-      .select(col(keyCol), col("keep_id"))
+    // keyCol pre-filtered non-null: the post-join `=!=` predicate would
+    // otherwise infer IsNotNull(keyCol) onto the probe branch only and
+    // break the shared exchange (a null key never survived it anyway —
+    // null =!= x is null). See the identity note on [[attachDupGroups]].
+    val rows = df.select(fingerprint(col(textCol)).as("fp"), col(keyCol))
+      .where(col(keyCol).isNotNull)
+    attachDupGroups(rows, "fp", col(keyCol), Seq(keyCol), "inner")
+      .where(col(keyCol) =!= col("_first"))
+      .select(col(keyCol), col("_first").as("keep_id"))
   }
 
   /** Materialized exact-dedup index: `(fp, id)` — the normalized-content
@@ -126,32 +244,34 @@ object Dedup {
     *
     * Scale shape: one scan of the BATCH text (fingerprints), a
     * partition-pruned index read (`_pb IN (batch's fingerprint
-    * buckets)` — a driver-side list bounded by nPartBuckets), a
-    * broadcast LEFT SEMI of index rows against the batch's distinct
-    * fingerprints (the increment is small by daily-ingest contract),
-    * then one batch-sized window over the matched rows. Corpus text is
-    * never re-read, corpus fingerprints never recomputed.
+    * buckets)` — a driver-side list bounded by nPartBuckets), a LEFT
+    * SEMI of index rows against the batch's distinct fingerprints
+    * (broadcast while under `maxBroadcastKeys`, shuffle semi beyond —
+    * the daily-ingest "increments are small" contract, enforced), then
+    * one skew-safe batch-sized group attach over the matched rows.
+    * Corpus text is never re-read, corpus fingerprints never
+    * recomputed.
     */
   def exactIncrementalDuplicates(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
-      nPartBuckets: Int = 256): DataFrame = {
+      nPartBuckets: Int = 256,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val newRows = newBatch
       .select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
       .where(col("fp").isNotNull)
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
     val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
     val newFps = newRows.select("fp").distinct()
-    val oldMatched = spark.read.parquet(indexPath)
-      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
-      .join(broadcast(newFps), Seq("fp"), "left_semi")
+    val oldMatched = semiJoinSmall(
+      spark.read.parquet(indexPath)
+        .where(col("_pb").cast("long").isin(pbs: _*)), // partition pruning
+      newFps, Seq("fp"), maxBroadcastKeys)
       .select(col("fp"), col("id"), lit(false).as("is_new"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    newRows.select(col("fp"), col("id"), lit(true).as("is_new"))
+    val unioned = newRows.select(col("fp"), col("id"), lit(true).as("is_new"))
       .union(oldMatched)
-      .select(col("id"), col("is_new"),
-        min(col("id")).over(w).as("keep_id"), count(lit(1)).over(w).as("_n"))
-      .where(col("is_new") && col("_n") > 1 && col("id") =!= col("keep_id"))
-      .select(col("id").as(keyCol), col("keep_id"))
+    attachDupGroups(unioned, "fp", col("id"), Seq("id"), "inner")
+      .where(col("is_new") && col("id") =!= col("_first").getField("id"))
+      .select(col("id").as(keyCol), col("_first").getField("id").as("keep_id"))
   }
 
   /** Word 3-gram shingles over a PRE-PROJECTED words array column; docs
@@ -322,24 +442,27 @@ object Dedup {
     *
     * Scale shape: one scan of the BATCH text (signatures), a
     * partition-pruned index read (`_pb IN (batch's band hashes)` — a
-    * driver-side list bounded by nPartBuckets), a broadcast LEFT SEMI of
-    * the index rows against the batch's distinct bands (the increment is
-    * small by daily-ingest contract — for corpus-sized "increments" run
-    * the batch operator instead), then the same band-keyed bucket
+    * driver-side list bounded by nPartBuckets), a LEFT SEMI of the
+    * index rows against the batch's distinct bands (broadcast while
+    * under `maxBroadcastKeys`, shuffle semi beyond — for corpus-sized
+    * "increments" the batch operator is still cheaper, but the fallback
+    * stays correct instead of OOMing the driver), then the same band-keyed bucket
     * shuffle as the one-shot op, over matching rows only. Corpus text is
     * never re-read, corpus signatures never recomputed.
     */
   def minhashIncrementalPairs(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
       k: Int = 8, rowsPerBand: Int = 2, maxBucket: Int = 2000,
-      nPartBuckets: Int = 256): DataFrame = {
+      nPartBuckets: Int = 256,
+      maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val newRows = bandRows(minhashSignature(newBatch, keyCol, textCol, k),
       keyCol, k, rowsPerBand, nPartBuckets)
     val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
     val newBands = newRows.select(col("band_idx"), col("band")).distinct()
-    val oldMatched = spark.read.parquet(indexPath)
-      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
-      .join(broadcast(newBands), Seq("band_idx", "band"), "left_semi")
+    val oldMatched = semiJoinSmall(
+      spark.read.parquet(indexPath)
+        .where(col("_pb").cast("long").isin(pbs: _*)), // partition pruning
+      newBands, Seq("band_idx", "band"), maxBroadcastKeys)
       .select(col("id"), col("band_idx"), col("band"), lit(false).as("is_new"))
     val buckets = observeCap(
       newRows.select(col("id"), col("band_idx"), col("band"), lit(true).as("is_new"))
@@ -511,21 +634,22 @@ object Dedup {
     * dedup is worth a rewrite pass.
     *
     * Scale shape: one corpus scan → segment explode (rows × ~words/width),
-    * one shuffle on the 16-byte segment fingerprint for the occurrence
-    * window, one hash re-aggregation by doc key. The md5 fingerprint
-    * (not an 8-byte hash) keys the shuffle: a collision here MISCOUNTS
-    * duplication, and at 10^12 segments 64-bit birthday collisions are
-    * expected — same argument as [[exactDuplicates]].
+    * one salted shuffle on the 16-byte segment fingerprint for the
+    * skew-safe occurrence attach ([[attachDupGroups]] — a boilerplate
+    * segment with df 10⁸ must not become one window task), one hash
+    * re-aggregation by doc key. The md5 fingerprint (not an 8-byte
+    * hash) keys the shuffle: a collision here MISCOUNTS duplication,
+    * and at 10^12 segments 64-bit birthday collisions are expected —
+    * same argument as [[exactDuplicates]].
     */
   def segmentStats(df: DataFrame, keyCol: String, textCol: String,
       width: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
-    segmentRows(df, keyCol, textCol, width)
+    val rows = segmentRows(df, keyCol, textCol, width)
       .select(col("id"), md5(col("seg").cast("binary")).as("_h"))
-      .select(col("id"), count(lit(1)).over(w).as("_c"))
+    attachDupGroups(rows, "_h", col("id"), Nil, "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+        sum(when(col("_first").isNotNull, 1L).otherwise(0L)).as("n_dup_segments"))
       .withColumn("dup_seg_ratio",
         round(col("n_dup_segments").cast("double") / col("n_segments"), 6))
       .withColumnRenamed("id", keyCol)
@@ -540,30 +664,33 @@ object Dedup {
     * row: dropping it is a downstream quality-filter decision, same as
     * CCNet's empty-after-line-dedup docs).
     *
-    * Scale shape: one corpus scan → segment explode, ONE shuffle on the
-    * segment md5 for the first-occurrence window (`min(struct(key,pos))`
-    * — an O(1) agg per partition, no sort-based row_number), one
-    * re-aggregation by doc key whose `collect_list` is bounded by the
-    * document's own segment count (never corpus-sized). Output:
+    * Scale shape: one corpus scan → segment explode, ONE salted shuffle
+    * on the segment md5 for the skew-safe first-occurrence attach
+    * ([[attachDupGroups]]: `min(struct(key,pos))` is salt-decomposable
+    * — min of per-salt mins; a unique segment has no attach row and is
+    * trivially its own first occurrence), one re-aggregation by doc key
+    * whose `collect_list` is bounded by the document's own segment
+    * count (never corpus-sized). Output:
     * `(key, text, n_segments, n_kept)`.
     */
   def dropDuplicateSegments(df: DataFrame, keyCol: String, textCol: String,
       width: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     val occ = struct(col("id"), col("pos"))
-    segmentRows(df, keyCol, textCol, width)
+    val rows = segmentRows(df, keyCol, textCol, width)
       .select(col("id"), col("pos"), col("seg"),
         md5(col("seg").cast("binary")).as("_h"))
-      .withColumn("_first", min(occ).over(w))
+    val keep = col("_first").isNull ||
+      occ === struct(col("_first").getField("id"), col("_first").getField("pos"))
+    attachDupGroups(rows, "_h", col("id"), Seq("id", "pos"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when(occ === col("_first"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         // collect_list skips the nulls the `when` leaves for dropped
         // occurrences; array_sort on (pos, seg) structs restores
         // document order (pos is unique per doc)
         array_join(transform(array_sort(collect_list(
-            when(occ === col("_first"), struct(col("pos"), col("seg"))))),
+            when(keep, struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("text"))
       .withColumnRenamed("id", keyCol)
       .select(col(keyCol), col("text"), col("n_segments"), col("n_kept"))
@@ -606,20 +733,23 @@ object Dedup {
   def rollingGramStats(df: DataFrame, keyCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     import org.apache.spark.sql.{GraftColumnBridge => EU}
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     // the codegen'd kernel hashes grams straight off one byte pass —
     // no gram strings materialize, and the shuffle key is 8 bytes
     // (collision odds ~2⁻⁶⁴ per gram pair miscount one gram — the
     // ngramJaccardPairs key argument; [[rollingGramStatsRef]] is the
-    // string-keyed reference, count-equivalent by OpsSpec)
-    df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
+    // string-keyed reference, count-equivalent by OpsSpec). The
+    // occurrence attach is the skew-safe [[attachDupGroups]]: a
+    // Zipf-head 8-gram (df 10⁸⁺ on a real corpus) was the worst case
+    // of the old window form — head grams fully materialized in single
+    // tasks BEFORE the `> 1` filter could drop anything.
+    val rows = df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
       .select(col(keyCol).as("id"),
         EU.column(RollingHashes(EU.expression(col(textCol)), k)).as("_hs"))
       .select(col("id"), explode(col("_hs")).as("_h"))
-      .select(col("id"), count(lit(1)).over(w).as("_c"))
+    attachDupGroups(rows, "_h", col("id"), Nil, "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("_c") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+        sum(when(col("_first").isNotNull, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_gram_ratio",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
       .withColumnRenamed("id", keyCol)
@@ -653,10 +783,11 @@ object Dedup {
     * substring dedup: what to DO with a span (drop it from all but one
     * occurrence, drop the doc, weight it down) is downstream policy.
     *
-    * Scale shape: the same gram explode + duplicate-flag window as
-    * [[rollingGramStats]], then one per-doc window ordered by gram
-    * start (bounded by the doc's own gram count) for the island
-    * cumsum, and a (doc, island) hash re-agg.
+    * Scale shape: the same gram explode + skew-safe duplicate attach as
+    * [[rollingGramStats]] (inner form — unique grams leave the frame at
+    * the join), then one per-doc window ordered by gram start (bounded
+    * by the doc's own gram count) for the island cumsum, and a
+    * (doc, island) hash re-agg.
     */
   def duplicateSpans(df: DataFrame, keyCol: String, textCol: String,
       k: Int = 8): DataFrame = {
@@ -685,15 +816,17 @@ object Dedup {
     */
   def duplicateSpanFraction(df: DataFrame, keyCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.{GraftColumnBridge => EU}
-    // one scan-side pass for the word counts, one spans run for the
-    // covered words; the spans side is corpus-duplicated-only (small),
-    // so the left join back is cheap relative to the gram shuffle
+    // one cheap split-size pass for the word counts (tokenCount ≡ the
+    // kernel's n_words: both count separators + 1), one spans run for
+    // the covered words — the gram KERNEL runs exactly once in this
+    // plan (the counts side previously ran RollingHashesWithCount a
+    // second time, hashing every word and folding every window just to
+    // read n_words; plan-asserted single-kernel by OpsSpec). The spans
+    // side is corpus-duplicated-only (small), so the left join back is
+    // cheap relative to the gram shuffle.
     val counts = df
       .where(col(keyCol).isNotNull && col(textCol).isNotNull)
-      .select(col(keyCol),
-        EU.column(RollingHashesWithCount(EU.expression(col(textCol)), k))
-          .getField("n_words").cast("long").as("n_words"))
+      .select(col(keyCol), tokenCount(col(textCol)).as("n_words"))
     val spans = duplicateSpans(df, keyCol, textCol, k)
       .groupBy(col(keyCol))
       .agg(sum(col("span_end") - col("span_start") + 1L).as("_dw"))
@@ -715,19 +848,23 @@ object Dedup {
           md5(col("gram").cast("binary")).as("_h")),
       keyCol, k)
 
-  /** Shared tail: dup-flag window → short-doc end clamp → island merge.
-    * Input: `(id, _n, pos, _h)`.
+  /** Shared tail: skew-safe dup-row restriction ([[attachDupGroups]]
+    * inner — the old `count OVER (PARTITION BY _h)` materialized every
+    * Zipf-head gram's occurrences in one task BEFORE the `> 1` filter)
+    * → short-doc end clamp → island merge. Input: `(id, _n, pos, _h)`.
+    * The per-doc island window is bounded by the doc's own gram count.
     */
   private def duplicateSpansFrom(rows: DataFrame, keyCol: String,
       k: Int): DataFrame = {
-    val hw = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
     val dw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val prevMaxEnd = max(col("end")).over(
       dw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
-    rows
-      .withColumn("_c", count(lit(1)).over(hw))
-      .where(col("_c") > 1)
+    attachDupGroups(rows, "_h", col("id"), Nil, "inner")
+      // semantically redundant after the inner join, but it keeps
+      // `_first` (and with it the payload references on the aggregation
+      // branch) alive through ColumnPruning — see [[attachDupGroups]]
+      .where(col("_first").isNotNull)
       .withColumn("end", least(col("pos") + (k - 1), col("_n") - 1))
       .withColumn("_new",
         when(prevMaxEnd.isNull || col("pos") > prevMaxEnd + 1, 1L).otherwise(0L))
@@ -752,25 +889,35 @@ object Dedup {
     * `nPartBuckets` sizing rule as [[exactWriteIndex]].
     */
   def segmentWriteIndex(df: DataFrame, keyCol: String, textCol: String,
-      path: String, width: Int = 8, nPartBuckets: Int = 256): Unit =
-    segmentIndexRows(df, keyCol, textCol, width, nPartBuckets)
+      path: String, width: Int = 8, nPartBuckets: Int = 256,
+      bid: Long = -1L): Unit =
+    segmentIndexRows(df, keyCol, textCol, width, nPartBuckets, bid)
       .write.mode("overwrite").partitionBy("_pb").parquet(path)
 
   /** Fold a batch's segment vocabulary INTO an existing
     * [[segmentWriteIndex]] — the maintenance half of the ingest loop.
     * `width`/`nPartBuckets` MUST match the build values.
+    *
+    * `bid` stamps every appended fingerprint with the writer's batch id
+    * (stored as the `bid` column; -1 for untracked batch builds). It
+    * exists for AT-LEAST-ONCE writers — a replayed append is an inert
+    * duplicate (the index is a set), and a probe reading with
+    * `maxBid = Some(thisBatch)` cannot see the replaying batch's own
+    * prior append. See [[segmentIncrementalRewrite]].
     */
   def segmentAppendIndex(newBatch: DataFrame, keyCol: String, textCol: String,
-      path: String, width: Int = 8, nPartBuckets: Int = 256): Unit =
-    segmentIndexRows(newBatch, keyCol, textCol, width, nPartBuckets)
+      path: String, width: Int = 8, nPartBuckets: Int = 256,
+      bid: Long = -1L): Unit =
+    segmentIndexRows(newBatch, keyCol, textCol, width, nPartBuckets, bid)
       .write.mode("append").partitionBy("_pb").parquet(path)
 
   private def segmentIndexRows(df: DataFrame, keyCol: String, textCol: String,
-      width: Int, nPartBuckets: Int): DataFrame =
+      width: Int, nPartBuckets: Int, bid: Long): DataFrame =
     segmentRows(df, keyCol, textCol, width)
       .select(unhex(md5(col("seg").cast("binary"))).as("fp"))
       .distinct()
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
+      .withColumn("bid", lit(bid))
 
   /** Incremental segment dedup: rewrite a NEW batch's documents dropping
     * every segment already present in the corpus (via its
@@ -784,31 +931,47 @@ object Dedup {
     * OpsSpec differential and the `dedup_seg_incr` oracle).
     *
     * Scale shape: one scan of the BATCH text, a partition-pruned index
-    * read (`_pb IN (batch's fingerprint buckets)`), a broadcast LEFT
-    * SEMI of pruned index rows against the batch's distinct fingerprints
-    * (bounded by the batch's own segment vocabulary — small by the
-    * daily-ingest contract), then one batch-sized window + re-agg.
-    * Corpus text is never re-read.
+    * read (`_pb IN (batch's fingerprint buckets)`), a LEFT SEMI of
+    * pruned index rows against the batch's distinct fingerprints
+    * (broadcast while under `maxBroadcastKeys` — the batch's own
+    * segment vocabulary, small by the daily-ingest contract — shuffle
+    * semi beyond), then one batch-sized skew-safe group attach +
+    * re-agg. Corpus text is never re-read.
     */
   def segmentIncrementalRewrite(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, newBatch: DataFrame, keyCol: String, textCol: String,
-      width: Int = 8, nPartBuckets: Int = 256): DataFrame = {
+      width: Int = 8, nPartBuckets: Int = 256,
+      maxBroadcastKeys: Long = MaxBroadcastKeys,
+      maxBid: Option[Long] = None): DataFrame = {
     val segs = segmentRows(newBatch, keyCol, textCol, width)
       .withColumn("fp", unhex(md5(col("seg").cast("binary"))))
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
     val pbs = segs.select("_pb").distinct().collect().map(_.getLong(0))
     val batchFps = segs.select("fp").distinct()
-    val oldHit = spark.read.parquet(indexPath)
+    // one size probe gates BOTH broadcasts (oldHit ⊆ batchFps, so the
+    // same bound covers it): past the cap, plain joins fall back to
+    // shuffle joins — identical output, no driver collect
+    val fpsSmall = batchFps.count() <= maxBroadcastKeys
+    def whenSmall(d: DataFrame): DataFrame = if (fpsSmall) broadcast(d) else d
+    val indexAll = spark.read.parquet(indexPath)
       .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
-      .join(broadcast(batchFps), Seq("fp"), "left_semi")
+    // maxBid: replay safety for at-least-once writers (foreachBatch) —
+    // "old" means appended by a STRICTLY EARLIER batch, so a replayed
+    // batch whose own append already committed does not see its own
+    // vocabulary and rewrite every doc to empty text. Requires the
+    // index to carry [[segmentAppendIndex]]'s `bid` column.
+    val index = maxBid.map(b => indexAll.where(col("bid") < lit(b))).getOrElse(indexAll)
+    val oldHit = index
+      .join(whenSmall(batchFps), Seq("fp"), "left_semi")
       .select(col("fp")).distinct()
       .withColumn("_old", lit(true))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val occ = struct(col("id"), col("pos"))
-    val keep = col("_old").isNull && occ === col("_first")
-    segs
-      .join(broadcast(oldHit), Seq("fp"), "left")
-      .withColumn("_first", min(occ).over(w))
+    val keep = col("_old").isNull &&
+      (col("_first").isNull ||
+        occ === struct(col("_first").getField("id"), col("_first").getField("pos")))
+    attachDupGroups(
+      segs.drop("_pb").join(whenSmall(oldHit), Seq("fp"), "left"),
+      "fp", col("id"), Seq("id", "pos"), "left")
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_segments"),

@@ -125,6 +125,14 @@ object StreamingValidation {
     * indexed (the index is a SET with duplicates tolerated — probes are
     * existence checks), bounded by one copy per batch containing the
     * segment.
+    *
+    * Replay story (foreachBatch is AT-LEAST-ONCE): every append is
+    * stamped with the batch id and the probe reads only `bid <
+    * batchId`, so a batch replayed after its own append committed
+    * neither self-flags its segments as old nor corrupts the index —
+    * the replayed run reproduces the original output and its re-append
+    * is an inert duplicate (asserted by StreamingValidationSpec's
+    * replay case).
     */
   def segmentIngestStream(stream: DataFrame, keyCol: String, textCol: String,
       indexPath: String, width: Int = 8, nPartBuckets: Int = 256)(
@@ -141,13 +149,20 @@ object StreamingValidation {
         // index after its own batch's vocabulary landed in it
         val rewritten =
           (if (indexNonEmpty(spark, indexPath))
+            // maxBid = this batch: "old" means appended by a strictly
+            // earlier batch, so a foreachBatch REPLAY (restart between
+            // the append below and the batch commit) cannot probe its
+            // own prior append and rewrite the whole batch to empty
+            // text — the replayed run produces the original output
             Dedup.segmentIncrementalRewrite(spark, indexPath, b, keyCol,
-              textCol, width, nPartBuckets)
+              textCol, width, nPartBuckets, maxBid = Some(batchId))
           else
             Dedup.dropDuplicateSegments(b, keyCol, textCol, width))
             .localCheckpoint()
+        // bid-stamped append: a replayed append is an inert duplicate
+        // (the index is a set and probes exclude bid >= their own)
         Dedup.segmentAppendIndex(b, keyCol, textCol, indexPath, width,
-          nPartBuckets)
+          nPartBuckets, bid = batchId)
         sink(rewritten, batchId)
       } finally {
         (sc.getPersistentRDDs.keySet -- pinnedBefore)

@@ -1108,4 +1108,103 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(one == run(7), "first-occurrence choice must not depend on partitioning")
     assert(one.map(_._1) == Set(10L, 11L, 12L, 13L), "null key/text rows are excluded")
   }
+
+  test("attachDupGroups: one shared exchange per op — single corpus scan, kernel never recomputed") {
+    // The skew-safe occurrence attach consumes its input twice (partial
+    // aggregation + join-back probe). Both consumers MUST read the same
+    // shuffle stage (ReuseExchange): if the two exchange subtrees stop
+    // canonicalizing equal — ColumnPruning narrowing the aggregation
+    // branch, or InferFiltersFromConstraints adding IsNotNull to the
+    // probe branch — the expensive scan (md5 fingerprint / gram kernel)
+    // silently runs twice. Parquet-backed input: local relations
+    // constant-fold the kernels and hide the regression.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dupplan").toString + "/docs"
+    Seq(
+      (0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j"),
+      (2L, "x y z w v u t s r q"), (3L, "p q r"),
+      (4L, "a b c d e f g h i j k l")
+    ).toDF("doc_id", "text").write.parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame, Int)] = Seq(
+      ("exactDuplicates", Dedup.exactDuplicates(pq, "doc_id", "text"), 1),
+      ("segmentStats", Dedup.segmentStats(pq, "doc_id", "text", width = 4), 1),
+      ("dropDuplicateSegments",
+        Dedup.dropDuplicateSegments(pq, "doc_id", "text", width = 4), 1),
+      ("rollingGramStats", Dedup.rollingGramStats(pq, "doc_id", "text", k = 4), 1),
+      ("duplicateSpans", Dedup.duplicateSpans(pq, "doc_id", "text", k = 4), 1),
+      // spanFraction = the spans run (1 kernel scan) + the cheap
+      // size(split) word-count scan — 2 file scans, still 1 kernel
+      ("duplicateSpanFraction",
+        Dedup.duplicateSpanFraction(pq, "doc_id", "text", k = 4), 2)
+    )
+    for ((name, d, expectedScans) <- cases) {
+      d.collect()
+      val nodes = allNodes(d.queryExecution.executedPlan)
+      val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+      val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
+      assert(scans == expectedScans,
+        s"$name: expected $expectedScans corpus scan(s), planned $scans — " +
+          s"branch recompute regression\n${d.queryExecution.executedPlan.treeString.take(4000)}")
+      assert(reused >= 1,
+        s"$name: the attach's two consumers no longer share an exchange " +
+          s"(no ReusedExchange in the final plan)")
+    }
+  }
+
+  test("incremental probes: over-cap batches fall back to shuffle semi joins, identical output") {
+    // The broadcast of the batch-side distinct key set is a CONTRACT
+    // ("daily increments are small"), now enforced: maxBroadcastKeys = 0
+    // forces every probe down the fallback path — plain shuffle semi
+    // joins, zero driver-side collect — and the output must be
+    // bit-identical to the broadcast path's.
+    val all = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "The cat  sat on the mat"),
+      (7L, "THE CAT SAT ON THE MAT "),
+      (3L, "something else entirely"),
+      (17L, "something else entirely"),
+      (27L, "a new batch singleton"),
+      (2L, "an old-only singleton seg one. seg two here. seg three now.")
+    ).toDF("doc_id", "text")
+    val newB = all.where(col("doc_id") % 10 === 7)
+    val oldB = all.where(col("doc_id") % 10 =!= 7)
+
+    val fpIdx = java.nio.file.Files.createTempDirectory("graft_fb_fp").toString
+    Dedup.exactWriteIndex(oldB, "doc_id", "text", fpIdx)
+    val exBroadcast = Dedup.exactIncrementalDuplicates(spark, fpIdx, newB, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exFallback = Dedup.exactIncrementalDuplicates(spark, fpIdx, newB, "doc_id", "text",
+        maxBroadcastKeys = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exBroadcast == exFallback && exFallback.nonEmpty)
+
+    val mhIdx = java.nio.file.Files.createTempDirectory("graft_fb_mh").toString
+    Dedup.minhashWriteIndex(oldB, "doc_id", "text", mhIdx)
+    val mhBroadcast = Dedup.minhashIncrementalPairs(spark, mhIdx, newB, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhFallback = Dedup.minhashIncrementalPairs(spark, mhIdx, newB, "doc_id", "text",
+        maxBroadcastKeys = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhBroadcast == mhFallback && mhFallback.nonEmpty)
+
+    val segIdx = java.nio.file.Files.createTempDirectory("graft_fb_seg").toString
+    Dedup.segmentWriteIndex(oldB, "doc_id", "text", segIdx, width = 3)
+    val segBatch = Seq((7L, "the cat sat on the mat. and a novel tail segment")).toDF("doc_id", "text")
+    def segRun(cap: Long) = Dedup.segmentIncrementalRewrite(spark, segIdx, segBatch,
+        "doc_id", "text", width = 3, maxBroadcastKeys = cap)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val segB = segRun(Dedup.MaxBroadcastKeys)
+    assert(segB == segRun(0L) && segB.nonEmpty)
+  }
 }

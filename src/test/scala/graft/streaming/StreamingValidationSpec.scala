@@ -424,4 +424,35 @@ class StreamingValidationSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(prog != null && prog.stateOperators.nonEmpty)
     } finally q.stop()
   }
+
+  test("segment ingest replay: a batch re-run after its own append reproduces the original output") {
+    import spark.implicits._
+    // ops-level simulation of foreachBatch's at-least-once contract:
+    // batch 1's index append COMMITS, the stream dies before the batch
+    // commit, batch 1 replays in full (probe + append + sink). Without
+    // the bid guard the replayed probe sees batch 1's own vocabulary as
+    // "old" and rewrites every doc to empty text.
+    val idx = java.nio.file.Files.createTempDirectory("graft_replay").toString + "/idx"
+    val b0 = Seq((0L, "a1 a2 a3 b1 b2 b3")).toDF("doc_id", "text")
+    graft.ops.Dedup.segmentAppendIndex(b0, "doc_id", "text", idx, width = 3, bid = 0L)
+    val b1 = Seq((1L, "a1 a2 a3 c1 c2 c3")).toDF("doc_id", "text")
+    def runB1() = graft.ops.Dedup.segmentIncrementalRewrite(spark, idx, b1,
+        "doc_id", "text", width = 3, maxBid = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val original = runB1()
+    assert(original == Set((1L, "c1 c2 c3", 1L)), s"batch 1 loses A to batch 0: $original")
+    graft.ops.Dedup.segmentAppendIndex(b1, "doc_id", "text", idx, width = 3, bid = 1L)
+    // the replayed probe runs AFTER its own append landed
+    val replayed = runB1()
+    assert(replayed == original,
+      s"replay must reproduce the original output, got $replayed")
+    // the replayed append is an inert duplicate...
+    graft.ops.Dedup.segmentAppendIndex(b1, "doc_id", "text", idx, width = 3, bid = 1L)
+    // ...and batch 2 still sees batch 1's vocabulary as old, exactly once
+    val b2 = Seq((2L, "c1 c2 c3 e1 e2 e3")).toDF("doc_id", "text")
+    val out2 = graft.ops.Dedup.segmentIncrementalRewrite(spark, idx, b2,
+        "doc_id", "text", width = 3, maxBid = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(out2 == Set((2L, "e1 e2 e3", 1L)), s"$out2")
+  }
 }
