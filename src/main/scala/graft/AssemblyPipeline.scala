@@ -57,6 +57,19 @@ object AssemblyPipeline {
     * marks the held-out eval slice used for decontamination;
     * `contaminationThreshold` drops corpus docs whose shingle overlap
     * fraction with the eval slice reaches it.
+    *
+    * `checkpoint` switches stage boundaries from in-memory
+    * `localCheckpoint` to the durable [[graft.engine.StageIO]] seam:
+    * each stage's output is written as one commit unit with its scalar
+    * metrics committed last, and a resumed run SKIPS every committed
+    * stage (reading its output and replaying its recorded scalars, so
+    * the cross-stage `require`s still hold) — an interrupted assembly
+    * resumes at stage granularity, the production parquet-between-stages
+    * run. Stages are only comparable under the same configuration, so a
+    * run descriptor is committed first and checked on resume (the
+    * [[graft.engine.CheckpointRunner]] split-descriptor discipline).
+    * `onStageComputed` fires once per stage actually computed (not
+    * resumed) — observability for tests and drivers.
     */
   def run(spark: SparkSession, docs: DataFrame,
       benchPred: org.apache.spark.sql.Column,
@@ -70,43 +83,98 @@ object AssemblyPipeline {
       maxRepetition: Double = 1.0,
       maxDupSpanFraction: Double = 1.0,
       mixMaxEpochs: Double = 1.0,
-      outDir: Option[String] = None): StageCounts = {
-    val nInput = docs.count()
+      outDir: Option[String] = None,
+      checkpoint: Option[graft.engine.StageIO] = None,
+      onStageComputed: String => Unit = _ => ()): StageCounts = {
+    checkpoint.foreach { io =>
+      val desc = Seq(benchPred.toString, contaminationThreshold,
+        sampleRates.toSeq.sorted.mkString(","), defaultRate, packBudget,
+        mixShares.map(_.toSeq.sorted.mkString(",")).getOrElse("-"),
+        mixTokenBudget, minQuality, maxRepetition, maxDupSpanFraction,
+        mixMaxEpochs).mkString("")
+      io.runDescriptor() match {
+        case Some(prev) => require(prev == desc,
+          "checkpoint dir was started with a different assembly " +
+            "configuration; resume with the original one or use a fresh dir")
+        case None => io.writeRunDescriptor(desc)
+      }
+    }
+
+    /** One committed stage: `compute` builds the stage's output frame
+      * plus a scalar thunk evaluated AFTER materialization (so counts
+      * run against the leaf, and intra-stage frames it closes over are
+      * already localCheckpointed). Without `checkpoint` this is the
+      * in-memory form; with it, committed stages are skipped wholesale.
+      */
+    def step(name: String)(
+        compute: => (DataFrame, DataFrame => Map[String, Long]))
+        : (DataFrame, Map[String, Long]) =
+      checkpoint match {
+        case None =>
+          val (df0, scalars) = compute
+          val df = stage(df0)
+          (df, scalars(df))
+        case Some(io) =>
+          if (io.completedStages()(name)) (io.readStage(name), io.stageScalars(name))
+          else {
+            val (df0, scalars) = compute
+            io.writeStage(name, df0)
+            val df = io.readStage(name)
+            val m = scalars(df)
+            io.commitStage(name, m)
+            onStageComputed(name)
+            (df, m)
+          }
+      }
 
     // 1) validate; only passing rows continue (violations go to the
     //    checkpointed violations sink in the production run — here the
     //    count is the invariant)
-    val annotated = ValidationEngine.annotate(docs, spec)
-    val valid = stage(annotated.where(col(ValidationEngine.PassCol))
-      .select(docs.columns.map(col): _*))
-    val nValid = valid.count()
+    val (valid, mValid) = step("validate") {
+      val annotated = ValidationEngine.annotate(docs, spec)
+      val df = annotated.where(col(ValidationEngine.PassCol))
+        .select(docs.columns.map(col): _*)
+      (df, out => Map("n_input" -> docs.count(), "n_valid" -> out.count()))
+    }
+    val nInput = mValid("n_input")
+    val nValid = mValid("n_valid")
 
     // 2) exact dedup: remove every non-survivor of an exact group
-    val dropList = Dedup.exactDuplicates(valid, "doc_id", "text")
-      .select(col("doc_id"))
-    val nExactDropped = dropList.count()
-    val afterExact = stage(valid.join(dropList, Seq("doc_id"), "left_anti"))
-    val nAfterExact = afterExact.count()
+    val (afterExact, mExact) = step("exact_dedup") {
+      val dropList = stage(Dedup.exactDuplicates(valid, "doc_id", "text")
+        .select(col("doc_id")))
+      val df = valid.join(dropList, Seq("doc_id"), "left_anti")
+      (df, out => Map("dropped" -> dropList.count(), "kept" -> out.count()))
+    }
+    val nExactDropped = mExact("dropped")
+    val nAfterExact = mExact("kept")
     require(nAfterExact == nValid - nExactDropped,
       s"exact dedup must conserve rows: $nValid - $nExactDropped != $nAfterExact")
 
     // 3) near-dup: LSH pairs → connected components → canonical per
     //    cluster (quality argmax); keep canonical docs only
-    val pairs = stage(Dedup.minhashCandidatePairs(
-      Dedup.minhashSignature(afterExact, "doc_id", "text"), "doc_id"))
-    val nPairs = pairs.count()
-    val labels = Dedup.connectedComponents(pairs, "a", "b")
-    val nLabeled = labels.count()
-    val scored = TextOps.qualityFeatures(afterExact, "text")
-      .select(col("doc_id"), col("quality"))
-    val canonical = stage(
-      Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels))
-    val nCanonical = canonical.count()
-    require(canonical.agg(sum("n_docs")).collect()(0).getLong(0) == nAfterExact,
+    val (afterNear, mNear) = step("near_dedup") {
+      val pairs = stage(Dedup.minhashCandidatePairs(
+        Dedup.minhashSignature(afterExact, "doc_id", "text"), "doc_id"))
+      val labels = Dedup.connectedComponents(pairs, "a", "b")
+      val scored = TextOps.qualityFeatures(afterExact, "text")
+        .select(col("doc_id"), col("quality"))
+      val canonical = stage(
+        Pipeline.canonicalPerCluster(scored, "doc_id", "quality", labels))
+      val df = afterExact.join(
+        canonical.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      (df, out => Map(
+        "pairs" -> pairs.count(), "labeled" -> labels.count(),
+        "clusters" -> canonical.count(),
+        "cluster_docs" -> canonical.agg(sum("n_docs")).collect()(0).getLong(0),
+        "kept" -> out.count()))
+    }
+    val nPairs = mNear("pairs")
+    val nLabeled = mNear("labeled")
+    val nCanonical = mNear("clusters")
+    val nAfterNear = mNear("kept")
+    require(mNear("cluster_docs") == nAfterExact,
       "every post-exact doc must be counted in exactly one cluster")
-    val afterNear = stage(afterExact.join(
-      canonical.select(col("canonical_id").as("doc_id")), Seq("doc_id"), "left_semi"))
-    val nAfterNear = afterNear.count()
     require(nAfterNear == nCanonical,
       s"one survivor per cluster: $nAfterNear != $nCanonical")
 
@@ -122,40 +190,50 @@ object AssemblyPipeline {
     // each lane runs only when its own threshold can drop anything —
     // a vacuous predicate (quality < 0.0, dup_ratio > 1.0) would still
     // cost a full-corpus scan pass just to select zero rows
-    val gateLanes = Seq(
+    def gateLanes(in: DataFrame) = Seq(
       Option.when(minQuality > 0.0)(
-        TextOps.qualityFeatures(afterNear, "text")
+        TextOps.qualityFeatures(in, "text")
           .where(col("quality") < minQuality).select("doc_id")),
       Option.when(maxRepetition < 1.0)(
-        TextOps.repetitionFeatures(afterNear, "doc_id", "text")
+        TextOps.repetitionFeatures(in, "doc_id", "text")
           .where(col("dup_ratio") > maxRepetition).select("doc_id")),
       Option.when(maxDupSpanFraction < 1.0)(
-        Dedup.duplicateSpanFraction(afterNear, "doc_id", "text")
+        Dedup.duplicateSpanFraction(in, "doc_id", "text")
           .where(col("dup_word_ratio") > maxDupSpanFraction)
           .select("doc_id"))
     ).flatten
-    val (nQualityDropped, afterQuality) =
-      if (gateLanes.isEmpty) (0L, afterNear)
-      else {
-        val drops = stage(gateLanes.reduce(_ union _).distinct())
-        (drops.count(), stage(afterNear.join(drops, Seq("doc_id"), "left_anti")))
+    val gateActive = minQuality > 0.0 || maxRepetition < 1.0 ||
+      maxDupSpanFraction < 1.0
+    // all-thresholds-vacuous: the gate is an identity — no stage to
+    // commit (and no full corpus copy to write), skip it entirely
+    val (afterQuality, mGate) =
+      if (!gateActive) (afterNear, Map("dropped" -> 0L, "kept" -> nAfterNear))
+      else step("quality_gate") {
+        val drops = stage(gateLanes(afterNear).reduce(_ union _).distinct())
+        val df = afterNear.join(drops, Seq("doc_id"), "left_anti")
+        (df, out => Map("dropped" -> drops.count(), "kept" -> out.count()))
       }
-    val nAfterQuality = afterQuality.count()
+    val nQualityDropped = mGate("dropped")
+    val nAfterQuality = mGate("kept")
     require(nAfterQuality == nAfterNear - nQualityDropped,
       s"quality gate must conserve rows: $nAfterNear - $nQualityDropped != $nAfterQuality")
 
     // 4) decontamination: the held-out eval slice leaves the corpus, and
     //    corpus docs sharing >= threshold of their shingles with it drop
-    val bench = afterQuality.where(benchPred)
-    val nBench = bench.count()
-    val corpus = afterQuality.where(!benchPred)
-    val contaminated = Dedup.contaminationScores(
-        corpus, "doc_id", "text", bench, "text")
-      .where(col("contamination") >= contaminationThreshold)
-      .select(col("id").as("doc_id"))
-    val nContaminated = contaminated.count()
-    val afterDecon = stage(corpus.join(contaminated, Seq("doc_id"), "left_anti"))
-    val nAfterDecon = afterDecon.count()
+    val (afterDecon, mDecon) = step("decontaminate") {
+      val bench = afterQuality.where(benchPred)
+      val corpus = afterQuality.where(!benchPred)
+      val contaminated = stage(Dedup.contaminationScores(
+          corpus, "doc_id", "text", bench, "text")
+        .where(col("contamination") >= contaminationThreshold)
+        .select(col("id").as("doc_id")))
+      val df = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      (df, out => Map("eval_slice" -> bench.count(),
+        "contaminated" -> contaminated.count(), "kept" -> out.count()))
+    }
+    val nBench = mDecon("eval_slice")
+    val nContaminated = mDecon("contaminated")
+    val nAfterDecon = mDecon("kept")
     require(nAfterDecon == nAfterQuality - nBench - nContaminated,
       "decon must conserve rows: corpus minus eval slice minus contaminated")
 
@@ -166,59 +244,70 @@ object AssemblyPipeline {
     //    policy and the rates follow the data. `mixMaxEpochs` ≤ 1 caps
     //    rates at one epoch (a Bernoulli sample cannot repeat docs);
     //    above 1 the epoch sampler below materializes the repetition.
-    val withTok0 =
-      if (mixShares.isDefined)
-        stage(afterDecon.withColumn("n_tok", TextOps.tokenCount(col("text"))))
-      else afterDecon
-    val rates = mixShares match {
-      case Some(shares) =>
-        require(mixTokenBudget > 0, "mixShares needs a positive mixTokenBudget")
-        val computed = Pipeline.mixtureWeights(withTok0, "source", "n_tok",
-            shares, mixTokenBudget, maxEpochs = mixMaxEpochs)
-          .select(col("source"), col("rate")).collect()
-          .map(r => r.getString(0) -> r.getDouble(1)).toMap
-        // a share key with no corpus rows yields no rate row, and its
-        // budget slice would silently go unspent — a policy typo, not a
-        // sampling decision, so fail loudly
-        val missing = shares.keySet -- computed.keySet
-        require(missing.isEmpty,
-          s"mixShares name strata absent from the corpus: ${missing.mkString(", ")}")
-        computed
-      case None => sampleRates
-    }
     // with mixMaxEpochs > 1 the computed rates may EXCEED 1 — scarce
     // strata repeat (upsampling): epochSample materializes floor(rate)
     // full epochs plus a hash-gated fractional one, and the pack key
     // becomes (doc_id, epoch) so repeated docs pack as distinct
-    // sequences; otherwise a plain Bernoulli stratified sample
+    // sequences; otherwise a plain Bernoulli stratified sample. The
+    // pack key is config-derived, so a resumed run re-derives it.
     val upsampling = mixShares.isDefined && mixMaxEpochs > 1.0
-    val (sampled, packKey) =
-      if (upsampling)
-        (Pipeline.epochSample(withTok0, "doc_id", "source", rates)
-          .withColumn("samp_key",
-            concat(col("doc_id").cast("string"), lit(":"), col("epoch"))),
-          "samp_key")
-      else
-        (Pipeline.stratifiedSample(withTok0, "doc_id", "source",
-          rates, if (mixShares.isDefined) 0.0 else defaultRate), "doc_id")
-    val nSampled = sampled.count()
+    val packKey = if (upsampling) "samp_key" else "doc_id"
+    val (withTok, mSample) = step("sample") {
+      val withTok0 =
+        if (mixShares.isDefined)
+          stage(afterDecon.withColumn("n_tok", TextOps.tokenCount(col("text"))))
+        else afterDecon
+      val rates = mixShares match {
+        case Some(shares) =>
+          require(mixTokenBudget > 0, "mixShares needs a positive mixTokenBudget")
+          val computed = Pipeline.mixtureWeights(withTok0, "source", "n_tok",
+              shares, mixTokenBudget, maxEpochs = mixMaxEpochs)
+            .select(col("source"), col("rate")).collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap
+          // a share key with no corpus rows yields no rate row, and its
+          // budget slice would silently go unspent — a policy typo, not a
+          // sampling decision, so fail loudly
+          val missing = shares.keySet -- computed.keySet
+          require(missing.isEmpty,
+            s"mixShares name strata absent from the corpus: ${missing.mkString(", ")}")
+          computed
+        case None => sampleRates
+      }
+      val sampled =
+        if (upsampling)
+          Pipeline.epochSample(withTok0, "doc_id", "source", rates)
+            .withColumn("samp_key",
+              concat(col("doc_id").cast("string"), lit(":"), col("epoch")))
+        else
+          Pipeline.stratifiedSample(withTok0, "doc_id", "source",
+            rates, if (mixShares.isDefined) 0.0 else defaultRate)
+      // normalize the stage output: n_tok rides along either way (in the
+      // non-mix flow it is counted only on the sampled survivors)
+      val df =
+        if (mixShares.isDefined) sampled
+        else sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
+      (df, out => Map("kept" -> out.count()))
+    }
+    val nSampled = mSample("kept")
 
-    // 6) sequence packing over the sample
-    val withTok =
-      if (mixShares.isDefined) sampled
-      else sampled.withColumn("n_tok", TextOps.tokenCount(col("text")))
-    val packed = Pipeline.packSequences(withTok, packKey, "n_tok", "source",
-      budget = packBudget, nShards = 8)
-    val nPacked = packed.count()
+    // 6) sequence packing over the sample; the stage output IS the
+    //    assembled corpus — doc rows with their pack assignment
+    val (assembled, mPack) = step("pack") {
+      val packed = stage(Pipeline.packSequences(withTok, packKey, "n_tok",
+        "source", budget = packBudget, nShards = 8))
+      val df = withTok.join(
+        packed.select(packKey, "shard", "bin_id"), Seq(packKey))
+      (df, _ => Map("docs" -> packed.count(),
+        "bins" -> packed.select("source", "shard", "bin_id").distinct().count()))
+    }
+    val nPacked = mPack("docs")
     require(nPacked == nSampled, "packing assigns every sampled doc to a bin")
-    val nBins = packed.select("source", "shard", "bin_id").distinct().count()
+    val nBins = mPack("bins")
 
-    // materialize the assembled corpus: doc rows with their pack
-    // assignment, partitioned by stratum (the layout a trainer's data
-    // loader reads bin-by-bin within a source)
+    // materialize the assembled corpus partitioned by stratum (the
+    // layout a trainer's data loader reads bin-by-bin within a source)
     outDir.foreach { d =>
-      withTok.join(packed.select(packKey, "shard", "bin_id"), Seq(packKey))
-        .write.mode("overwrite").partitionBy("source").parquet(d)
+      assembled.write.mode("overwrite").partitionBy("source").parquet(d)
     }
 
     StageCounts(nInput, nValid, nExactDropped, nAfterExact,

@@ -38,6 +38,14 @@ object GraftFunctions {
     l.toInt
   }
 
+  private def strArg(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(s, _)
+        if s != null && e.dataType == org.apache.spark.sql.types.StringType =>
+      s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got ${other.sql}")
+  }
+
   /** `gen_tokens(id BIGINT, len INT, seed BIGINT, salt INT, vocab INT)` —
     * deterministic token array, equal to
     * `transform(sequence(0, len-1), i -> pmod(xxhash64(id, seed, salt, i), vocab))`.
@@ -117,6 +125,18 @@ object GraftFunctions {
           graft.ops.TokenGrams(args(0), n)
         }),
       (
+        new FunctionIdentifier("graft_divisible_by"),
+        new ExpressionInfo(classOf[graft.compile.ExactDivisibleBy].getName,
+          "graft_divisible_by"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "graft_divisible_by(value NUMERIC, divisor STRING-literal) — " +
+              "arbitrary-precision divisibility; the divisor travels as a " +
+              "string so emitted artifacts lose no precision")
+          graft.compile.ExactDivisibleBy(args(0),
+            new java.math.BigDecimal(strArg(args(1), "divisor")))
+        }),
+      (
         new FunctionIdentifier("rolling_hashes"),
         new ExpressionInfo(classOf[graft.ops.RollingHashes].getName, "rolling_hashes"),
         (args: Seq[Expression]) => {
@@ -127,16 +147,19 @@ object GraftFunctions {
         }))
 
   /** Install into a live session (same registrations as the extension),
-    * plus the session-level UDF the emitted-SQL surface needs
-    * (`graft_is_valid_regex` — SQL text from [[graft.engine.SqlGen]]
-    * references it by name; udf.register is the only surface for a
-    * Scala-function UDF, so it is session-level, not extension-level).
+    * plus the session-level UDFs the emitted-SQL surface needs — every
+    * [[graft.compile.FormatRegistry]] entry under its `sqlName`
+    * (`graft_is_valid_regex` for the shipped "regex" format; SQL text
+    * from [[graft.engine.SqlGen]] references them by name. udf.register
+    * is the only surface for a Scala-function UDF, so they are
+    * session-level, not extension-level). Formats registered AFTER this
+    * call need it re-run on sessions that execute emitted artifacts.
     */
   def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.GraftColumnBridge.registerFunction(spark, id, info, builder)
     }
-    spark.udf.register("graft_is_valid_regex",
-      graft.compile.SpecCompiler.isValidRegexFn)
+    graft.compile.FormatRegistry.entries.foreach(e =>
+      spark.udf.register(e.sqlName, e.fn))
   }
 }

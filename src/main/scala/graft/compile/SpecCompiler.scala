@@ -44,17 +44,11 @@ object SpecCompiler {
   private val FalseC: Column = lit(false)
   private val TrueC: Column = lit(true)
 
-  /** `format: "regex"` needs a compile-check UDF — the one reference
-    * check with no Catalyst built-in (reference: Helpers.hs:31-56; only
-    * the "regex" format is ever validated, all others are no-ops).
-    * The function is public so [[graft.GraftFunctions.register]] can
-    * install it by name (`graft_is_valid_regex`) for emitted-SQL use
-    * ([[graft.engine.SqlGen]]).
+  /** The shipped `format: "regex"` check, kept addressable for existing
+    * callers; the table it lives in is [[FormatRegistry]] (the
+    * reference's extensible `formatValidators` lookup, Helpers.hs:31-50).
     */
-  val isValidRegexFn: String => Boolean = s =>
-    if (s == null) true
-    else scala.util.Try(java.util.regex.Pattern.compile(s)).isSuccess
-  private val isValidRegex = udf(isValidRegexFn)
+  val isValidRegexFn: String => Boolean = FormatRegistry.get("regex").get.fn
 
   // ---------------------------------------------------------------------
   // public entry points
@@ -199,11 +193,10 @@ object SpecCompiler {
       Gen(s"$path.maxLength", c => length(c) <= m, strOff))
     val pat = spec.pattern.toSeq.map(p =>
       Gen(s"$path.pattern", c => c.rlike(p.source), strOff))
-    val fmt = spec.format match {
-      case Some("regex") =>
-        Seq(Gen(s"$path.format", c => isValidRegex(c), strOff))
-      case _ => Nil // every other format tag is a no-op in the reference
-    }
+    // format tags resolve through the pluggable registry (the
+    // reference's formatValidators table); unregistered tags are no-ops
+    val fmt = spec.format.flatMap(FormatRegistry.get).toSeq.map(e =>
+      Gen(s"$path.format", c => e.column(c), strOff))
     minL ++ maxL ++ pat ++ fmt
   }
 
@@ -224,13 +217,24 @@ object SpecCompiler {
         numOff(dt))
     }
     val div = spec.divisibleBy.toSeq.map { d =>
-      if (d.isWhole && isIntegral(dt))
+      if (d.isWhole && isIntegral(dt) && d.isValidLong)
         Gen(s"$path.divisibleBy", c => c % lit(d.toLong) === 0, numOff(dt))
-      else
+      else if (d.underlying().precision <= 38 && d.underlying().scale <= 18
+          && d.underlying().scale >= 0)
         // exact decimal remainder — Spark decimal arithmetic is exact
-        // within 38 digits (documented limit, SURVEY.md §7.5)
+        // within 38 digits (SURVEY.md §7.5); the codegen'd default
         Gen(s"$path.divisibleBy",
           c => c.cast(DecimalType(38, 18)) % lit(d.underlying()) === lit(BigDecimal(0).underlying()),
+          numOff(dt))
+      else
+        // the divisor itself exceeds DecimalType(38,18) — arbitrary-
+        // precision remainder, exact at any scale like the reference's
+        // Scientific arithmetic (Helpers.hs:59-67)
+        Gen(s"$path.divisibleBy",
+          c => org.apache.spark.sql.GraftColumnBridge.column(
+            ExactDivisibleBy(
+              org.apache.spark.sql.GraftColumnBridge.expression(c),
+              d.underlying())),
           numOff(dt))
     }
     minV ++ maxV ++ div

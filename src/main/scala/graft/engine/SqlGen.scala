@@ -61,12 +61,13 @@ object SqlGen {
         .map { case (n, v) => s"${n.sql}, ${render(v)}" }
       parts.mkString("named_struct(", ", ", ")")
     case u: ScalaUDF =>
-      // the compiler's single UDF (SpecCompiler.isValidRegex) — guard by
-      // function identity so a future second UDF fails loudly instead of
-      // being mislabeled in emitted text
-      require(u.function == graft.compile.SpecCompiler.isValidRegexFn,
-        s"unknown UDF in compiled constraints: cannot emit SQL for ${u}")
-      s"graft_is_valid_regex(${u.children.map(render).mkString(", ")})"
+      // the compiler's only UDFs are format validators — map the node
+      // back to its registry entry by function identity (a UDF from
+      // anywhere else fails loudly instead of being mislabeled)
+      val entry = graft.compile.FormatRegistry.forFunction(u.function)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown UDF in compiled constraints: cannot emit SQL for ${u}"))
+      s"${entry.sqlName}(${u.children.map(render).mkString(", ")})"
     case l: Literal => renderLiteral(l.value, l.dataType)
     case leaf if leaf.children.isEmpty => leaf.sql
     case other =>

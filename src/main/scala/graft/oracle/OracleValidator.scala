@@ -115,10 +115,12 @@ object OracleValidator {
         List(Violation(s"$path.pattern", s"'$str' does not match /${p.source}/"))
       case _ => Nil
     }
-    // only the "regex" format is ever validated (Helpers.hs:31-56)
-    val fmt = s.format match {
-      case Some("regex") if scala.util.Try(java.util.regex.Pattern.compile(str)).isFailure =>
-        List(Violation(s"$path.format", s"'$str' is not a valid regex"))
+    // format tags resolve through the same pluggable registry the
+    // Catalyst compiler consults (the reference's formatValidators
+    // table, Helpers.hs:31-56); unregistered tags are no-ops
+    val fmt = s.format.flatMap(graft.compile.FormatRegistry.get) match {
+      case Some(e) if !e.fn(str) =>
+        List(Violation(s"$path.format", s"'$str' fails format '${e.name}'"))
       case _ => Nil
     }
     minL ++ maxL ++ pat ++ fmt

@@ -111,6 +111,42 @@ class SqlGenSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertSqlEqualsEngine(df, specJson, Seq("id"), "sqlgen_format")
   }
 
+  test("emitted SQL ≡ engine on a user-registered format (pluggable registry, rendered by its sqlName)") {
+    val entry = graft.compile.FormatRegistry.register("sqlgen-upper",
+      s => s == s.toUpperCase)
+    GraftFunctions.register(spark) // installs graft_format_sqlgen_upper
+    val specJson =
+      """{
+        "type": "object",
+        "properties": {
+          "id": {"type": "integer", "required": true},
+          "code": {"type": "string", "format": "sqlgen-upper"}
+        }
+      }"""
+    val df = Seq((0L, "ABC"), (1L, "AbC"), (2L, "X1")).toDF("id", "code")
+    val sql = SqlGen.validationSql(spark, graft.spec.SchemaParser.parse(specJson),
+      df.schema, "sqlgen_custom_fmt", Seq("id"))
+    assert(sql.contains(s"${entry.sqlName}("),
+      s"emitted SQL must reference the registered name ${entry.sqlName}:\n$sql")
+    assertSqlEqualsEngine(df, specJson, Seq("id"), "sqlgen_custom_fmt")
+  }
+
+  test("emitted SQL ≡ engine on arbitrary-precision divisibleBy via graft_divisible_by") {
+    GraftFunctions.register(spark)
+    val specJson =
+      """{
+        "type": "object",
+        "properties": {
+          "id": {"type": "integer", "required": true},
+          "v": {"type": "number", "divisibleBy": 1.23e-41}
+        }
+      }"""
+    val df = Seq((0L, 2.46e-41), (1L, 2.5e-41), (2L, 0.0)).toDF("id", "v")
+    val sql = assertSqlEqualsEngine(df, specJson, Seq("id"), "sqlgen_divis_exact")
+    assert(sql.contains("graft_divisible_by("),
+      s"the >38-digit divisor must render through the registered function:\n$sql")
+  }
+
   test("emitted SQL ≡ engine on MapType object semantics (patternProperties, additionalProperties)") {
     val specJson =
       """{

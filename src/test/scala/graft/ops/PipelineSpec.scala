@@ -241,6 +241,72 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"nSampled ${c.nSampled} should exceed one epoch of the ~1/10 stratum")
   }
 
+  test("assembly resumes at stage granularity after an interrupt") {
+    import graft.engine.{ParquetStageIO, StageIO}
+    val rows = 8000L
+    val docs = graft.SoakBench.corpus(spark, rows, poolSize = 65521)
+      .withColumn("source",
+        concat(lit("src"),
+          pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(10))))
+    val idNum = pmod(substring(col("doc_id"), 2, 100).cast("long"), lit(1009))
+
+    // reference: the uninterrupted in-memory run
+    val want = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stageio").toString
+    // interrupt BEFORE the third stage's commit point: its output may be
+    // written but uncommitted → re-run wholesale on resume (the TableIO
+    // commit discipline)
+    final class FailAt(inner: StageIO, failOnCommit: Int) extends StageIO {
+      var commits = 0
+      def completedStages() = inner.completedStages()
+      def runDescriptor() = inner.runDescriptor()
+      def writeRunDescriptor(d: String) = inner.writeRunDescriptor(d)
+      def writeStage(n: String, df: org.apache.spark.sql.DataFrame) =
+        inner.writeStage(n, df)
+      def readStage(n: String) = inner.readStage(n)
+      def commitStage(n: String, s: Map[String, Long]) = {
+        commits += 1
+        if (commits == failOnCommit)
+          throw new RuntimeException("simulated interrupt")
+        inner.commitStage(n, s)
+      }
+      def stageScalars(n: String) = inner.stageScalars(n)
+    }
+    val interrupted = intercept[RuntimeException] {
+      graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+        checkpoint = Some(new FailAt(new ParquetStageIO(spark, dir), 3)))
+    }
+    assert(interrupted.getMessage == "simulated interrupt")
+    val committedAtInterrupt = new ParquetStageIO(spark, dir).completedStages()
+    assert(committedAtInterrupt == Set("validate", "exact_dedup"))
+
+    // resume: committed stages are SKIPPED (stage-granularity), the rest
+    // compute, and the counts equal the uninterrupted run's
+    val computed = scala.collection.mutable.ArrayBuffer[String]()
+    val got = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+      checkpoint = Some(new ParquetStageIO(spark, dir)),
+      onStageComputed = computed += _)
+    assert(computed.toSeq ==
+      Seq("near_dedup", "decontaminate", "sample", "pack"),
+      s"resume must compute only uncommitted stages: $computed")
+    assert(got == want, s"resumed counts differ: $got vs $want")
+
+    // a second resume is a full skip
+    val computed2 = scala.collection.mutable.ArrayBuffer[String]()
+    val again = graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+      checkpoint = Some(new ParquetStageIO(spark, dir)),
+      onStageComputed = computed2 += _)
+    assert(computed2.isEmpty && again == want)
+
+    // resuming under a different configuration must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.AssemblyPipeline.run(spark, docs, benchPred = idNum === 5,
+        contaminationThreshold = 0.9,
+        checkpoint = Some(new ParquetStageIO(spark, dir)))
+    }
+  }
+
   // === packSequences ===
 
   private lazy val seqs = spark.range(300)

@@ -25,6 +25,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Draft3FixtureSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
+  // the format.json fixture's custom-format group exercises the
+  // pluggable registry on both engines (only "regex" ships registered)
+  graft.compile.FormatRegistry.register("even-length", s => s.length % 2 == 0)
+
   private val files = Seq(
     "type", "properties", "patternProperties", "additionalProperties",
     "items", "additionalItems", "required", "dependencies",
