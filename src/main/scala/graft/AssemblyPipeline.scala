@@ -83,6 +83,7 @@ object AssemblyPipeline {
       maxRepetition: Double = 1.0,
       maxDupSpanFraction: Double = 1.0,
       mixMaxEpochs: Double = 1.0,
+      minClassifierScore: Double = 0.0,
       outDir: Option[String] = None,
       checkpoint: Option[graft.engine.StageIO] = None,
       onStageComputed: String => Unit = _ => ()): StageCounts = {
@@ -91,7 +92,7 @@ object AssemblyPipeline {
         sampleRates.toSeq.sorted.mkString(","), defaultRate, packBudget,
         mixShares.map(_.toSeq.sorted.mkString(",")).getOrElse("-"),
         mixTokenBudget, minQuality, maxRepetition, maxDupSpanFraction,
-        mixMaxEpochs).mkString("")
+        mixMaxEpochs, minClassifierScore).mkString("")
       io.runDescriptor() match {
         case Some(prev) => require(prev == desc,
           "checkpoint dir was started with a different assembly " +
@@ -200,10 +201,15 @@ object AssemblyPipeline {
       Option.when(maxDupSpanFraction < 1.0)(
         Dedup.duplicateSpanFraction(in, "doc_id", "text")
           .where(col("dup_word_ratio") > maxDupSpanFraction)
+          .select("doc_id")),
+      // learned gate: a plan-constant linear model scored in one
+      // codegen'd scan pass (no shuffle), thresholded on the sigmoid
+      Option.when(minClassifierScore > 0.0)(
+        in.where(TextOps.classifierScore(col("text")) < minClassifierScore)
           .select("doc_id"))
     ).flatten
     val gateActive = minQuality > 0.0 || maxRepetition < 1.0 ||
-      maxDupSpanFraction < 1.0
+      maxDupSpanFraction < 1.0 || minClassifierScore > 0.0
     // all-thresholds-vacuous: the gate is an identity — no stage to
     // commit (and no full corpus copy to write), skip it entirely
     val (afterQuality, mGate) =

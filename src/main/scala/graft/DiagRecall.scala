@@ -110,6 +110,17 @@ object DiagRecall {
       val frac = f"scans ~${100.0 * nprobe / cents.length}%.0f%% of cells"
       println(f"| IVF | nprobe=$nprobe%2d/${cents.length} ($frac) | $r%.3f |")
     }
+    // the same sweep after Lloyd refinement of the subsample codebook —
+    // the frontier shift one (and three) distributed assign/update
+    // iterations buy at equal nprobe cost
+    for (iters <- Seq(1, 3)) {
+      val centsR = Similarity.refineCentroids(emb, "embedding", cents, iters)
+      for (nprobe <- Seq(1, 2, 4, 8, 16, centsR.length)) {
+        val r = recall(Similarity.ivfTopK(emb, "vec_id", "embedding",
+          q, "qid", "qvec", k, centsR, nprobe))
+        println(f"| IVF Lloyd x$iters | nprobe=$nprobe%2d/${centsR.length} | $r%.3f |")
+      }
+    }
     val rPq = recall(Similarity.pqTopK(emb, "vec_id", "embedding",
       q, "qid", "qvec", k, cb, nSub))
     println(f"| PQ | ${cb.length} codewords x $nSub subspaces | $rPq%.3f |")

@@ -125,6 +125,18 @@ object GraftFunctions {
           graft.ops.TokenGrams(args(0), n)
         }),
       (
+        new FunctionIdentifier("txt_classifier_logit"),
+        new ExpressionInfo(classOf[graft.ops.TextClassifierLogit].getName,
+          "txt_classifier_logit"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "txt_classifier_logit(text STRING) — " +
+            "linear classifier logit over hashed word+bigram features " +
+            "(shipped demo weight table)")
+          graft.ops.TextClassifierLogit(args(0),
+            graft.ops.TextOps.ClassifierWeights,
+            graft.ops.TextOps.ClassifierBias, graft.ops.TextOps.HashPrime)
+        }),
+      (
         new FunctionIdentifier("graft_divisible_by"),
         new ExpressionInfo(classOf[graft.compile.ExactDivisibleBy].getName,
           "graft_divisible_by"),

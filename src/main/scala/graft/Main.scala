@@ -180,6 +180,7 @@ object Main {
         maxRepetition = opt("--maxRepetition", "1.0").toDouble,
         maxDupSpanFraction = opt("--maxDupSpanFraction", "1.0").toDouble,
         mixMaxEpochs = opt("--mixMaxEpochs", "1.0").toDouble,
+        minClassifierScore = opt("--minClassifierScore", "0.0").toDouble,
         outDir = Some(args(2)),
         // --checkpoint <dir>: durable stage commits; an interrupted run
         // re-invoked with the same dir resumes at stage granularity
@@ -198,7 +199,7 @@ object Main {
         "       graft.Main emitsql <inputParquetDir|gen:N|spec> <specJsonFile|builtin> [tableName] [keyCols] [--dialect posix|java]\n" +
         "       graft.Main infer <inputParquetDir|gen:N> [enumMax]\n" +
         "       graft.Main profile <inputParquetDir|gen:N> <artifactDir> [--batchCol c] [--cols c1,c2] [--histCol c] [--bucketWidth w] [--nBuckets n]\n" +
-        "       graft.Main assemble <documentsParquetDir> <outDir> [--benchMod M] [--contamThreshold t] [--rates s=r,...] [--defaultRate r] [--packBudget B] [--mixShares s=w,...] [--mixTokenBudget T] [--mixMaxEpochs e] [--minQuality q] [--maxRepetition r] [--maxDupSpanFraction f] [--checkpoint dir]")
+        "       graft.Main assemble <documentsParquetDir> <outDir> [--benchMod M] [--contamThreshold t] [--rates s=r,...] [--defaultRate r] [--packBudget B] [--mixShares s=w,...] [--mixTokenBudget T] [--mixMaxEpochs e] [--minQuality q] [--maxRepetition r] [--maxDupSpanFraction f] [--minClassifierScore s] [--checkpoint dir]")
       sys.exit(2)
     }
     val (input, specArg, outDir) = (args(1), args(2), args(3))

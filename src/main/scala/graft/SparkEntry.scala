@@ -637,6 +637,19 @@ object SparkEntry {
       TextOps.qualityFeatures(read(s, dir, "documents"), "text")
         .select("doc_id", "n_words", "stopword_ratio", "avg_word_len", "quality")),
 
+    // learned quality gate: fastText-style linear classifier over hashed
+    // word+bigram features, the weight table a plan constant inside a
+    // codegen'd kernel. The LOGIT is the compared column (exact binary-
+    // fraction weights make the feature sums exact doubles — the sigmoid
+    // would compare exp() ulps instead); accept = logit > 0. The kernel
+    // column is projected ONCE (non-cheap alias blocks CollapseProject
+    // from duplicating the scan per reference site).
+    "txt_classifier" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .withColumn("_lg", TextOps.classifierLogit(col("text")))
+        .select(col("doc_id"), round(col("_lg"), 6).as("logit"),
+          (col("_lg") > 0).as("accept"))),
+
     // the fused WordStats pass is projected ONCE as an attribute; the
     // argmax reads its counters (cheap extracts, no re-scan)
     "txt_langid" -> ((s, dir) =>
@@ -758,6 +771,20 @@ object SparkEntry {
       // centroids; each query scans only its 2 best cells
       val emb = read(s, dir, "embeddings")
       val cents = Similarity.corpusCentroids(emb, "vec_id", "embedding", every = 61L)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3, cents, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+    }),
+
+    "ann_ivf_refined" -> ((s, dir) => {
+      // IVF with ONE distributed Lloyd iteration over the subsample
+      // codebook (assign = ivfCell scan, update = per-(cell,dim) mean
+      // behind map-side partial agg) — the offline refinement that
+      // shifts the recall/nprobe frontier (DiagRecall tables)
+      val emb = read(s, dir, "embeddings")
+      val cents = Similarity.refineCentroids(emb, "embedding",
+        Similarity.corpusCentroids(emb, "vec_id", "embedding", every = 61L))
       val q = emb.where(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, "qid", "qvec", 3, cents, nprobe = 2)
@@ -1515,6 +1542,24 @@ object SparkEntry {
                   len(list_filter($wordsSql, x -> x IN (${inList(TextOps.Stopwords)}))) AS ns
                   FROM documents)""",
 
+      "txt_classifier" -> {
+        val k = TextOps.ClassifierBuckets
+        val w = TextOps.ClassifierWeights.mkString("[", ", ", "]")
+        val b = TextOps.ClassifierBias
+        s"""WITH h AS (SELECT doc_id,
+              list_transform($wordsSql, x -> ${hSql("x")}) AS hs FROM documents),
+            f AS (SELECT doc_id,
+              list_sum(list_transform(hs, x -> ($w)[CAST(x % $k AS INT) + 1])) AS usum,
+              CASE WHEN len(hs) >= 2 THEN
+                list_sum(list_transform(generate_series(1, len(hs) - 1),
+                  i -> ($w)[CAST((hs[i] * 31 + hs[i+1]) % $P % $k AS INT) + 1]))
+              ELSE 0.0 END AS bsum,
+              greatest(2 * len(hs) - 1, 1) AS nf
+              FROM h)
+            SELECT doc_id, round($b + (usum + bsum) / nf, 6) AS logit,
+                   ($b + (usum + bsum) / nf) > 0 AS accept FROM f"""
+      },
+
       "txt_langid" -> langidSql,
 
       "txt_fingerprint" ->
@@ -1685,6 +1730,50 @@ object SparkEntry {
       "ann_ivf_topk" ->
         """WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
                          FROM embeddings WHERE vec_id % 61 = 0),
+                cells AS (SELECT vec_id, cid AS cell FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                                      c.cid ASC) AS rn
+                    FROM embeddings e, cent c) WHERE rn = 1),
+                q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                      FROM embeddings WHERE vec_id < 8),
+                probes AS (SELECT qid, cid AS cell FROM (
+                    SELECT q.qid, c.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid ASC) AS rn
+                    FROM q, cent c) WHERE rn <= 2),
+                s AS (SELECT q.qid, e.vec_id AS nid,
+                             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                      FROM q JOIN probes p ON p.qid = q.qid
+                           JOIN cells ce ON ce.cell = p.cell
+                           JOIN embeddings e ON e.vec_id = ce.vec_id
+                      WHERE e.vec_id <> q.qid),
+                r AS (SELECT qid, nid, cos,
+                             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+                      FROM s)
+           SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank
+           FROM r WHERE rank <= 3""",
+
+      // IVF after one Lloyd iteration: the subsample codebook is refined
+      // by per-(cell, dimension) means of its assignees (empty cells —
+      // impossible here, every centroid is its own member — would keep
+      // the old value), then cells/probes recompute over the refined
+      // codebook exactly as ann_ivf_topk does over the raw one
+      "ann_ivf_refined" ->
+        """WITH cent0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                          FROM embeddings WHERE vec_id % 61 = 0),
+                asg AS (SELECT vec_id, cid AS cell FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv) DESC,
+                                      c.cid ASC) AS rn
+                    FROM embeddings e, cent0 c) WHERE rn = 1),
+                m AS (SELECT a.cell AS cid, t.p, avg((e.embedding::DOUBLE[])[t.p]) AS mv
+                      FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id,
+                           generate_series(1, 64) AS t(p)
+                      GROUP BY 1, 2),
+                cent AS (SELECT cid, list(mv ORDER BY p) AS cv FROM m GROUP BY cid),
                 cells AS (SELECT vec_id, cid AS cell FROM (
                     SELECT e.vec_id, c.cid,
                            row_number() OVER (PARTITION BY e.vec_id

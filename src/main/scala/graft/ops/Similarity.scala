@@ -206,6 +206,37 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
+  /** Distributed Lloyd iteration(s) refining an IVF codebook: assign =
+    * the existing scan-only [[ivfCell]] pass; update = per-(cell, dim)
+    * mean via `posexplode` + a two-level aggregation whose map-side
+    * partial combine bounds the shuffle at partitions × |cells| × dim
+    * rows — never corpus × dim. Empty cells keep their previous
+    * centroid (FAISS's empty-cluster rule); ids are preserved so probe
+    * plans stay comparable across refinements. Driver-collects
+    * |cells| × dim doubles, index-sized by construction (≤ 2^16 × dim).
+    *
+    * Means are floating-point: cross-engine (and cross-partitioning)
+    * summation-order ulps are far below assignment decision boundaries
+    * for non-degenerate data — the same tolerance the cosine-ordered
+    * IVF oracle already relies on.
+    */
+  def refineCentroids(corpus: DataFrame, vec: String,
+      centroids: Array[(Long, Array[Double])],
+      iters: Int = 1): Array[(Long, Array[Double])] = {
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(ivfCell(col(vec), cents).as("_cell"),
+          posexplode(col(vec).cast("array<double>")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos").agg(avg("_x").as("_m"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+      cents = cents.map { case (cid, v) => (cid, means.getOrElse(cid, v)) }
+    }
+    cents
+  }
+
   /** Cell id of a vector: the centroid with the highest cosine, lowest
     * cid on ties (matches `row_number() OVER (ORDER BY cos DESC, cid)`).
     * Scan-only, no shuffle, codegen'd — see [[IvfProbes]].

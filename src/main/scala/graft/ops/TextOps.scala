@@ -102,6 +102,59 @@ object TextOps {
       .drop("_ws")
   }
 
+  /** Demo weight table for the learned quality gate: deterministic,
+    * and every weight an exact binary fraction (multiples of 1/1024) so
+    * feature SUMS are exact doubles — summation order cannot diverge the
+    * Catalyst kernel, the HOF reference, and the DuckDB oracle. A
+    * production pipeline loads trained weights instead; the engine
+    * shape (plan-constant table + codegen'd kernel) is identical.
+    */
+  val ClassifierBuckets = 64
+  val ClassifierWeights: Seq[Double] =
+    (0 until ClassifierBuckets).map(j => (((j * 37) % 21) - 10) / 1024.0)
+  val ClassifierBias: Double = -1.0 / 512
+
+  /** Linear classifier logit over hashed word+bigram features — the
+    * codegen'd [[TextClassifierLogit]] kernel with the plan-constant
+    * weight table. ≡ [[classifierLogitRef]], asserted by OpsSpec.
+    */
+  def classifierLogit(text: Column,
+      weights: Seq[Double] = ClassifierWeights,
+      bias: Double = ClassifierBias): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(TextClassifierLogit(EU.expression(text), weights, bias, HashPrime))
+  }
+
+  /** Sigmoid of [[classifierLogit]] — the [0,1] acceptance score a gate
+    * thresholds on (monotone in the logit, so logit thresholds are
+    * equivalent; cross-engine comparisons should use the logit — `exp`
+    * may differ in the last ulp between engines).
+    */
+  def classifierScore(text: Column,
+      weights: Seq[Double] = ClassifierWeights,
+      bias: Double = ClassifierBias): Column =
+    lit(1.0) / (lit(1.0) + exp(-classifierLogit(text, weights, bias)))
+
+  /** HOF reference form of [[classifierLogit]] — differential oracle
+    * (eval-only; never on a hot path).
+    */
+  def classifierLogitRef(text: Column,
+      weights: Seq[Double] = ClassifierWeights,
+      bias: Double = ClassifierBias): Column = {
+    val k = weights.length
+    val wArr = array(weights.map(lit): _*)
+    val hs = transform(words(text), w => bucketHash(w))
+    val uni = aggregate(hs, lit(0.0), (acc, h) =>
+      acc + element_at(wArr, (h % k).cast("int") + 1))
+    val bi = when(size(hs) >= 2,
+      aggregate(sequence(lit(1), size(hs) - 1), lit(0.0), (acc, i) =>
+        acc + element_at(wArr,
+          ((element_at(hs, i) * 31L + element_at(hs, i + 1)) % HashPrime % k)
+            .cast("int") + 1))).otherwise(lit(0.0))
+    lit(bias) + (uni + bi) /
+      greatest(size(hs).cast("double") * 2 - 1, lit(1.0))
+  }
+
   /** HOF reference form of [[qualityFeatures]] — differential oracle. */
   def qualityFeaturesRef(df: DataFrame, textCol: String): DataFrame = {
     val w = words(col(textCol))

@@ -55,6 +55,41 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("refineCentroids: one Lloyd iteration lands on exact cluster means, ids and empty cells preserved") {
+    // two tight clusters around (10,0) and (0,10); the subsample
+    // codebook picks one member of each (vec_id 0 and 5) plus nothing
+    // for a third id — refinement must move each centroid to its
+    // assignees' exact coordinate mean and keep an empty cell unchanged
+    val pts = Seq(
+      (0L, Array(10.0f, 0.2f)), (1L, Array(10.0f, -0.2f)),
+      (2L, Array(12.0f, 0.0f)), (3L, Array(8.0f, 0.0f)),
+      (5L, Array(0.2f, 10.0f)), (6L, Array(-0.2f, 10.0f)),
+      (7L, Array(0.0f, 12.0f)), (8L, Array(0.0f, 8.0f))
+    ).toDF("vec_id", "embedding").repartition(3)
+    val cents = Array(
+      (0L, Array(10.0, 0.2)), (5L, Array(0.2, 10.0)),
+      (99L, Array(-5.0, -5.0))) // cosine-dominated by the others → empty
+    val refined = Similarity.refineCentroids(pts, "embedding", cents).toMap
+    def mean(ids: Set[Long]): Array[Double] = {
+      val vs = pts.collect().filter(r => ids(r.getLong(0)))
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      Array.tabulate(2)(d => vs.map(_(d)).sum / vs.length)
+    }
+    assert(refined(0L).toSeq == mean(Set(0L, 1L, 2L, 3L)).toSeq)
+    assert(refined(5L).toSeq == mean(Set(5L, 6L, 7L, 8L)).toSeq)
+    assert(refined(99L).toSeq == Seq(-5.0, -5.0), "empty cell keeps its centroid")
+
+    // refinement reduces (or preserves) quantization error — Lloyd's
+    // monotonicity, here strictly: the initial centroids are corpus
+    // points, not means
+    def sse(cs: Array[(Long, Array[Double])]): Double =
+      pts.collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        cs.map(c => c._2.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min
+      }.sum
+    assert(sse(cents.map { case (i, v) => (i, refined(i)) }) < sse(cents))
+  }
+
   test("probing the index is partition pruning: the scan lists only probed directories") {
     val idx = Files.createTempDirectory("graft_ivf_idx2").toString
     Similarity.ivfWriteIndex(vecs, "embedding", cents, idx)

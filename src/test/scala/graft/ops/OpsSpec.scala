@@ -500,6 +500,35 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     f.foreach(r => assert(r.get(0) == r.get(1), s"rolling mismatch: $r"))
   }
 
+  test("classifier kernel ≡ HOF reference; hand arithmetic on a one-word doc") {
+    val edge = Seq("", "the", "el la de", "ünïcødé wörds hère", "x  y   z",
+      " lead", "trail ", "the the the the").map(Tuple1(_)).toDF("text")
+      .union(Seq(Tuple1(null.asInstanceOf[String])).toDF("text"))
+    val all = docs.select(col("text")).union(edge)
+    val rows = all.select(TextOps.classifierLogit(col("text")).as("fast"),
+      TextOps.classifierLogitRef(col("text")).as("ref")).collect()
+    // exact binary-fraction weights → EXACT doubles, so the kernel's
+    // interleaved summation and the reference's unigram+bigram split
+    // must agree bit-for-bit (not just to a tolerance)
+    rows.foreach(r => assert(r.get(0) == r.get(1),
+      s"classifier mismatch: ${r.get(0)} vs ${r.get(1)}"))
+
+    // one word → one feature: logit = bias + w[hash60(w) mod p mod K]
+    val Seq(one) = Seq(Tuple1("hello")).toDF("text")
+      .select(TextOps.classifierLogit(col("text"))).as[Double].collect().toSeq
+    val h = graft.ops.SimhashUtil.hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello")) %
+      TextOps.HashPrime
+    val want = TextOps.ClassifierBias +
+      TextOps.ClassifierWeights((h % TextOps.ClassifierBuckets).toInt)
+    assert(one == want)
+
+    // the sigmoid form is monotone in the logit and bounded to (0,1)
+    val s = all.where(col("text").isNotNull)
+      .select(TextOps.classifierScore(col("text"))).as[Double].collect()
+    assert(s.forall(v => v > 0.0 && v < 1.0))
+  }
+
   test("fused lshBucket (DotProd planes) ≡ HOF reference form") {
     val planes = Similarity.hyperplanes(8, 16)
     val rnd = new scala.util.Random(11)
