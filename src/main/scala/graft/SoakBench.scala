@@ -88,23 +88,43 @@ object SoakBench {
         .otherwise(concat(evenText: _*)).as("text"))
   }
 
-  /** Max single-task duration observed while `f` runs — the straggler
-    * evidence for the mega-hot lanes: a hot-key cliff shows up as ONE
-    * task's duration approaching the whole op's wall time.
+  /** Max single-task duration and the worst per-stage skew observed
+    * while `f` runs — the straggler evidence for the mega-hot lanes: a
+    * hot-key cliff shows up as ONE task of a stage running a large
+    * multiple of its siblings (all the key's rows in one task), NOT as
+    * a uniformly expensive stage (a big corpus legitimately has stages
+    * whose every task is long). Returned skew = max over qualifying
+    * stages (≥ 8 tasks, ≥ 10% of total task time) of
+    * stage_max / stage_avg.
     */
-  private def withMaxTask(spark: SparkSession)(f: => Long): (Long, Long) = {
+  private def withMaxTask(spark: SparkSession)(f: => Long): (Long, Long, Double) = {
     val maxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val byStage = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskInfo != null)
+        if (e.taskInfo != null) {
           maxMs.accumulateAndGet(e.taskInfo.duration, Math.max)
+          byStage.merge(e.stageId, (e.taskInfo.duration, 1L, e.taskInfo.duration),
+            (a, b) => (Math.max(a._1, b._1), a._2 + b._2, a._3 + b._3))
+        }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
       val out = f
       Thread.sleep(1000) // listener delivery is async; drain the bus
-      (out, maxMs.get())
+      import scala.jdk.CollectionConverters._
+      val stages = byStage.asScala.toSeq
+      val totalMs = stages.map(_._2._3).sum.max(1L)
+      val top = stages.sortBy(-_._2._1).take(5)
+        .map { case (sid, (mx, n, sm)) =>
+          f"stage $sid: max ${mx / 1e3}%.1f s over $n tasks (sum ${sm / 1e3}%.0f s)" }
+      println(s"""{"top_stage_tasks":"${top.mkString("; ")}"}""")
+      val worstSkew = stages.collect {
+        case (_, (mx, n, sm)) if n >= 8 && sm * 10 >= totalMs =>
+          mx.toDouble / (sm.toDouble / n)
+      }.foldLeft(1.0)(Math.max)
+      (out, maxMs.get(), worstSkew)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
@@ -323,6 +343,31 @@ object SoakBench {
         s"span count $n outside band around $want")
       n
     }
+    run("span_fraction") {
+      // the assembly gate's scalar (duplicateSpanFraction) end-to-end:
+      // every doc reports a row (0 for clean docs — row conservation),
+      // word counts are exact (24-word docs → Σ n_words = 24·rows), and
+      // the duplicated lanes reproduce dup_spans' arithmetic per doc:
+      // exact docs cover 24/24 words, near docs 23/24 (the salted-last-
+      // word gram breaks the chain), boilerplate 24/24.
+      val sf = Dedup.duplicateSpanFraction(docs, "doc_id", "text", k = 8)
+      val agg = sf.agg(count(lit(1L)), sum("n_words"), sum("dup_words"),
+        sum(when(col("dup_word_ratio") > 0, 1L).otherwise(0L))).collect()(0)
+      require(agg.getLong(0) == rows,
+        s"span_fraction row conservation broken: ${agg.getLong(0)} != $rows")
+      require(agg.getLong(1) == 24 * rows,
+        s"word-count sum must be exact: ${agg.getLong(1)} != ${24 * rows}")
+      val dupDocs = agg.getLong(3)
+      val wantDocs = rows * 4 / 16 + rows / 10007
+      require(math.abs(dupDocs - wantDocs) <= rows / 500,
+        s"dup-doc count $dupDocs outside band around $wantDocs")
+      val dupWords = agg.getLong(2)
+      val wantWords = rows / 16 * 2 * 24 + rows / 16 * 2 * 23 +
+        24 * (rows / 10007)
+      require(math.abs(dupWords - wantWords) <= rows / 20,
+        s"dup-word sum $dupWords outside band around $wantWords")
+      dupDocs
+    }
     // ---- mega-hot-key lanes: ONE fingerprint = HALF the corpus ----
     // The round-4 finding: count/min OVER (PARTITION BY fingerprint)
     // had no hot-key defense — a Zipf-head gram or mega-duplicated
@@ -342,16 +387,20 @@ object SoakBench {
           .write.mode("overwrite").parquet(megaSeg)
     }
     def runMega(op: String)(f: => Long): Unit = run(op) {
-      val t0 = System.nanoTime()
-      val (out, maxTaskMs) = withMaxTask(spark)(f)
-      val wallMs = (System.nanoTime() - t0) / 1e6
-      println(f"""{"op":"$op.max_task","max_task_sec":${maxTaskMs / 1e3}%.1f}""")
+      val (out, maxTaskMs, worstSkew) = withMaxTask(spark)(f)
+      println(f"""{"op":"$op.max_task","max_task_sec":${maxTaskMs / 1e3}%.1f,"worst_stage_skew":$worstSkew%.2f}""")
       require(maxTaskMs > 0, "listener must observe tasks")
-      // the straggler gate: under the old window form the hot key's one
-      // task IS the op (max task ≈ wall); salted, the hottest slice is
-      // ~rows/2/OccSalts rows — comparable to an average partition
-      require(maxTaskMs <= wallMs * 0.5,
-        f"straggler: max task ${maxTaskMs / 1e3}%.1f s dominates ${wallMs / 1e3}%.1f s wall")
+      // the straggler gate is PER-STAGE UNIFORMITY: under the old
+      // window form the hot key's rows all land in one task, so that
+      // task runs a large multiple of its stage siblings (17× on the
+      // exact lane); salted, the hottest slice is ~rows/2/OccSalts rows
+      // and every qualifying stage is near-uniform. (A plain
+      // max-vs-wall bound is the WRONG gate: a uniformly expensive
+      // stage — e.g. the 340M-gram window sort, every task ~49 s —
+      // legitimately dominates wall time with zero skew.)
+      require(worstSkew <= 2.0,
+        f"straggler: a task ran $worstSkew%.2fx its stage average " +
+          f"(max task ${maxTaskMs / 1e3}%.1f s) — hot-key concentration")
       out
     }
     runMega("exact_dup_megahot") {

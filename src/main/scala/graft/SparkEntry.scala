@@ -30,6 +30,18 @@ object SparkEntry {
   val SampleRates: Map[String, Double] = Map("src0" -> 0.125, "src1" -> 0.5)
   val SampleDefaultRate: Double = 0.25
 
+  /** Per-domain cap demo: binds on every source at sf0.01+ (25+ docs
+    * per source), while smaller tables exercise the min(cap, |group|)
+    * path.
+    */
+  val DomainCap: Int = 12
+
+  /** Split demo: fractions deliberately sum to 0.99 so the residual
+    * granule range exercises the unassigned (NULL-label) arm.
+    */
+  val SplitSpec: Seq[(String, Double)] =
+    Seq("train" -> 0.90, "val" -> 0.05, "test" -> 0.04)
+
   /** Mixture-weighting demo: src0's target share is large enough that the
     * epoch cap binds (rate clamps to MixMaxEpochs); src1's does not.
     * Strata absent from the map get share 0 → rate 0.
@@ -603,6 +615,15 @@ object SparkEntry {
       Pipeline.stratifiedSample(read(s, dir, "documents"), "doc_id", "source",
           SampleRates, SampleDefaultRate)
         .select(col("doc_id"), col("source"))),
+
+    "samp_domain_cap" -> ((s, dir) =>
+      Pipeline.capPerGroup(read(s, dir, "documents"), "doc_id", "source",
+          DomainCap)
+        .select(col("doc_id"), col("source"))),
+
+    "samp_split" -> ((s, dir) =>
+      Pipeline.assignSplit(read(s, dir, "documents"), "doc_id", SplitSpec)
+        .select(col("doc_id"), col("split"))),
 
     "seq_pack" -> ((s, dir) =>
       Pipeline.packSequences(read(s, dir, "documents"), "doc_id", "n_chars",
@@ -1281,6 +1302,26 @@ object SparkEntry {
         s"""SELECT doc_id, source FROM documents
             WHERE (${hFullSql("CAST(doc_id AS VARCHAR)")} % ${Pipeline.SampleGranularity}) <
                   CAST(($rateCase) * ${Pipeline.SampleGranularity} AS BIGINT)"""
+      },
+
+      // `// 128` = the engine's `portableHash >> 7` (both floor a
+      // non-negative value), keeping the priority exact in the
+      // aggregator's Double score
+      "samp_domain_cap" ->
+        s"""SELECT doc_id, source FROM (
+              SELECT doc_id, source, row_number() OVER (
+                PARTITION BY source
+                ORDER BY (${hFullSql("CAST(doc_id AS VARCHAR)")} // 128), doc_id) AS rn
+              FROM documents) WHERE rn <= $DomainCap""",
+
+      "samp_split" -> {
+        val arms = SplitSpec.zip(Pipeline.splitCuts(SplitSpec)).map {
+          case ((n, _), c) => s"WHEN h < $c THEN '$n'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $arms ELSE NULL END AS split
+            FROM (SELECT doc_id,
+                  (${hFullSql("CAST(doc_id AS VARCHAR)")} % ${Pipeline.SampleGranularity}) AS h
+                  FROM documents)"""
       },
 
       "seq_pack" ->

@@ -24,6 +24,24 @@ object Dedup {
     */
   val OccSalts = 64
 
+  /** Hot-vocabulary detection sample rate for [[attachDupGroups]]:
+    * 1-in-this docs are counted; see the scaling-rule note there.
+    */
+  val HotSampleMod = 1024L
+
+  /** Sampled-occurrence threshold above which a fingerprint is routed
+    * through the salted hot path (≥ 32 at 1/1024 sampling ⇒ true df
+    * ≳ 32k). Deliberately NOT lower: a window partition of a few
+    * thousand rows (boilerplate-sized groups) is harmless — the
+    * round-4 soaks sorted a 10M-row window partition in one task
+    * without a cliff — and routing such groups hot would pay the hot
+    * branch's second kernel scan on corpora that don't need it
+    * (measured: 1.9× on the 20M-doc span lane whose worst group is
+    * df ≈ 2k). The threshold only needs to sit well under task scale
+    * (~N/cores rows) while staying well over sampling noise.
+    */
+  val HotSampledMin = 32L
+
   /** Row-count ceiling for the incremental probes' broadcast of the
     * batch's distinct key set. The daily-ingest contract says increments
     * are small; this makes the contract ENFORCED instead of narrated — a
@@ -62,39 +80,63 @@ object Dedup {
     * skew handling splits joins, not windows (the same analysis as the
     * two-level sessionization in [[graft.ops.Sessions]]).
     *
-    * Shape: salt each row by `hash(saltCol) mod` [[OccSalts]] and
-    * repartition ONCE on (fingerprint, salt) — the hottest key now
-    * spreads over OccSalts slices by construction, and the explicit
-    * repartition makes the shuffled frame a SHARED exchange: the
-    * per-(fingerprint, salt) partial aggregation and the final
-    * join-back probe both read the same shuffle stage (ReuseExchange /
-    * AQE stage reuse — plan-asserted by OpsSpec), so the expensive
-    * scan (fingerprint md5 / gram-kernel explode) runs exactly once,
-    * the reason the window form was chosen originally. Partials
-    * collapse to ≤ OccSalts rows per fingerprint before the
-    * per-fingerprint total (count sum / min of mins — both
-    * salt-decomposable), totals filter to duplicated groups only and
-    * fan BACK out over the full salt range, so the probe join is keyed
-    * on (fingerprint, salt): it reuses the existing partitioning (no
-    * second corpus shuffle) and every join key group is bounded by
-    * hottest/OccSalts. Net cost vs the window: the same one scan + one
-    * corpus shuffle (read twice), plus two fingerprint-domain-sized
-    * aggregations.
+    * Shape — HOT-VOCABULARY ROUTING. The waste in any uniform two-phase
+    * (aggregate + join-back) form is that ~all fingerprints of a real
+    * corpus are unique, yet every one pays the totals machinery
+    * (measured 1.8×/5.2× the plain window on the 20M-doc segment
+    * stats/rewrite). So the skew defense is applied ONLY where skew can
+    * exist:
     *
-    * Exchange-identity engineering (why this code is shaped the way it
-    * is — the ReuseExchange above only fires when the two consumers'
-    * exchange subtrees canonicalize EQUAL, and two Catalyst rules break
-    * that silently): (a) ColumnPruning narrows the aggregation branch's
-    * projection to the grouping keys unless the aggregate references
-    * every payload column — so the `_pm` aggregate minimizes over ALL
-    * of them, and callers must keep `_first` consumed or the chain
-    * prunes away (count(struct(...)) does NOT work instead:
-    * NullPropagation rewrites count over a non-nullable child to
-    * count(1), dropping the references); (b) InferFiltersFromConstraints
-    * adds IsNotNull on inner-join keys and on columns in pushed-down
-    * post-join predicates to the probe branch only — so `hCol` is
-    * pre-filtered here and callers pre-filter any payload column their
-    * post-join predicates reference.
+    *   1. A deterministic 1-in-[[HotSampleMod]] DOC sample (hash of
+    *      `saltCol`, pushed below the caller's kernel/explode, so the
+    *      sample branch re-scans the table but runs the kernel on the
+    *      sampled sliver) counts fingerprint occurrences; anything seen
+    *      [[HotSampledMin]]+ times is "hot" (true df ≳ HotSampleMod
+    *      whp). The hot vocabulary is tiny by a counting argument —
+    *      |{fp : df ≥ K}| ≤ N/K — and broadcastable.
+    *   2. The strategy is chosen EAGERLY from that sample (one small
+    *      driver job — the repo precedent is the analyzed-plan
+    *      violations strategy in ValidationEngine). NO hot vocabulary —
+    *      every realistic corpus shard, and every corpus whose worst
+    *      key is merely boilerplate-sized — compiles to the PLAIN
+    *      single-window plan: one exchange, one sort, zero defensive
+    *      tax. The sample job is the only overhead (~sub-second at
+    *      bench scale, seconds at 20M docs).
+    *   3. WITH a hot vocabulary: rows of hot fingerprints get a
+    *      `hash(saltCol) mod` [[OccSalts]] salt, everything else salt
+    *      0, and the window runs over (fingerprint, salt) — cold
+    *      slices are whole groups (exact totals), the hottest key
+    *      spreads over OccSalts slices. Exact totals for the (tiny)
+    *      hot vocabulary come from a separate scan-based aggregation
+    *      branch — partial aggregation bounds a hot key at one row per
+    *      input partition — broadcast back over the window output.
+    *      This branch re-runs the kernel over the corpus once more,
+    *      deliberately: hot corpora are the exception, and a second
+    *      scan pass there beats the exchange-identity contortions
+    *      required to share one shuffle between a window and an
+    *      aggregation consumer (Catalyst's outer-join elimination and
+    *      per-branch column pruning silently broke the sharing in
+    *      every variant measured; the uniform salted two-phase form
+    *      this replaces cost 1.8×/5.2× the window on REALISTIC 20M-doc
+    *      segment stats/rewrite while defending a case that corpus
+    *      doesn't have).
+    *
+    * Hot detection affects ROUTING only, never results: both paths
+    * compute exact counts/minima, so output is bit-identical whatever
+    * the sample says (the oracle property). A missed hot key costs
+    * latency, not correctness, and the miss probability dies
+    * exponentially past df ≈ 2·HotSampleMod.
+    *
+    * Scaling rule (10^12-row corpora): HotSampleMod trades the
+    * broadcast bound against the cold-group ceiling — |hot vocab| ≤
+    * N/(HotSampledMin·HotSampleMod) must fit a broadcast while
+    * undetected groups (≲ a few × HotSampleMod rows) must fit a window
+    * partition; at N = 10^12, HotSampleMod ~ 10^5-10^6 satisfies both.
+    *
+    * Pruning note: callers must keep `_first` consumed, or ColumnPruning
+    * collapses the minimum chain (count(struct(...)) does NOT work as a
+    * keep-alive: NullPropagation rewrites count over a non-nullable
+    * child to count(1), dropping the references).
     */
   private def attachDupGroups(rows: DataFrame, hCol: String, saltCol: Column,
       orderCols: Seq[String], joinType: String,
@@ -102,35 +144,108 @@ object Dedup {
     val payloadCols = (orderCols ++
       rows.columns.filterNot(c => c == hCol || orderCols.contains(c)))
       .map(col).toIndexedSeq
-    // with no caller ordering, min(xxhash64(payload)) keeps the
-    // aggregation hash-based (fixed-width buffer) while still
-    // referencing every payload column; with one, the real min(struct)
-    // is required and pays a sort-based aggregate — the same
-    // per-partition sort the window form paid
-    val pm =
+    // the group-minimum aggregate: a plain value for a single payload
+    // column, a struct over (orderCols, hash-of-rest) otherwise, an
+    // opaque 8-byte marker when orderCols is empty. Non-ordering
+    // payload columns enter as ONE xxhash64, never as raw values —
+    // order keys are unique per row, so the hash tail never decides a
+    // comparison, and the window/aggregation buffers stay fixed-width
+    // instead of dragging segment text through them (measured: the
+    // full-struct form was the dominant cost of the 20M-doc segment
+    // rewrite).
+    val pm = {
+      val rest = payloadCols.drop(orderCols.size)
       if (orderCols.isEmpty) min(xxhash64(payloadCols: _*))
-      else if (payloadCols.size == 1) min(payloadCols.head)
-      else min(struct(payloadCols: _*))
-    // power-of-two bitmask, not pmod: Pmod is conservatively nullable
-    // (divisor zero), so the inner-join key inference would add
-    // IsNotNull(_salt) to the probe branch only and break the shared
-    // exchange; BitwiseAnd of non-nullable children is non-nullable
+      else {
+        val fields = orderCols.map(col) ++
+          (if (rest.isEmpty) Nil else Seq(xxhash64(rest: _*).as("_ph")))
+        if (fields.size == 1) min(fields.head) else min(struct(fields: _*))
+      }
+    }
     require(Integer.bitCount(nSalts) == 1, s"nSalts must be a power of two: $nSalts")
-    val rows2 = rows.where(col(hCol).isNotNull)
-      .withColumn("_salt", xxhash64(saltCol).bitwiseAND(lit(nSalts.toLong - 1)))
-    val shuffled = rows2.repartition(col(hCol), col("_salt"))
-    val partials = shuffled.groupBy(col(hCol), col("_salt"))
-      .agg(count(lit(1)).as("_pc"), pm.as("_pm"))
-    val totals = partials.groupBy(col(hCol))
-      .agg(sum(col("_pc")).as("_c"), min(col("_pm")).as("_first"))
-      .where(col("_c") > 1)
-    // fan the duplicated-group totals out over the full salt range
-    // (duplicated-vocabulary × nSalts rows — tiny next to re-shuffling
-    // the corpus on the bare fingerprint, which would also
-    // re-concentrate the hot key into one partition)
-    val salted = totals.withColumn("_salt",
-      explode(sequence(lit(0L), lit(nSalts.toLong - 1L))))
-    shuffled.join(salted, Seq(hCol, "_salt"), joinType).drop("_salt")
+
+    // the deterministic doc sample (hash, not rand(): reproducible and
+    // partitioning-invariant); the predicate references only saltCol,
+    // so Catalyst pushes it below the caller's Generate/Project and the
+    // kernel runs on the sliver, not the corpus
+    val hotV = rows
+      .where(pmod(xxhash64(saltCol), lit(HotSampleMod)) === 0L)
+      .where(col(hCol).isNotNull)
+      .groupBy(col(hCol))
+      .agg(count(lit(1)).as("_shc"))
+      .where(col("_shc") >= HotSampledMin)
+      .select(col(hCol), lit(true).as("_hot"))
+
+    val base = rows.where(col(hCol).isNotNull)
+    val outCols = base.columns.map(col).toIndexedSeq
+
+    // strategy probe: one small eager job (scan + sampled-sliver kernel
+    // + aggregation). The common case — no hot vocabulary — must pay
+    // ZERO plan overhead, not a defensive salting tax; the repo
+    // precedent is the analyzed-plan violations strategy in
+    // ValidationEngine. `-Dgraft.dedup.forceCold=true` is a TEST-ONLY
+    // override that pins the window plan regardless — SoakBench's
+    // negative control, proving its skew gate fires on the unsalted
+    // form of a mega-hot corpus.
+    val anyHot = !java.lang.Boolean.getBoolean("graft.dedup.forceCold") &&
+      !hotV.isEmpty
+
+    val attached =
+      if (!anyHot) {
+        // pure single-window plan: one exchange, one sort, one pass
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col(hCol))
+        base.select(outCols :+ count(lit(1)).over(w).as("_c0")
+          :+ pm.over(w).as("_m0"): _*)
+      } else {
+        // power-of-two bitmask, not pmod: Pmod is conservatively
+        // nullable (divisor zero) and would poison join-key inference;
+        // `when` keeps non-nullability because the `otherwise` is a
+        // literal
+        val rows2 = base
+          .join(broadcast(hotV), Seq(hCol), "left")
+          .withColumn("_salt",
+            when(col("_hot"),
+              xxhash64(saltCol).bitwiseAND(lit(nSalts.toLong - 1)))
+              .otherwise(lit(0L)))
+        // window over (fingerprint, salt): for COLD groups salt is the
+        // constant 0, so the slice is the whole group and these window
+        // values are already the exact totals; the hottest key spreads
+        // over nSalts slices by construction
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(hCol), col("_salt"))
+        val sliced = rows2
+          .select((rows2.columns.map(col) :+ count(lit(1)).over(w).as("_wc")
+            :+ pm.over(w).as("_wm")): _*)
+        // exact totals for the hot vocabulary from a SEPARATE
+        // scan-based branch (partial aggregation bounds a hot key at
+        // one row per input partition — no concentration anywhere).
+        // This re-runs the caller's kernel over the corpus once more,
+        // deliberately: hot vocabularies are the exception, and paying
+        // a second scan pass THERE beats the exchange-identity
+        // contortions required to share one shuffle between a window
+        // and an aggregation consumer (Catalyst rewrites — outer-join
+        // elimination under the hot filter, per-branch column pruning
+        // — silently broke the sharing in every variant we measured).
+        val hotTotals = base
+          .join(broadcast(hotV), Seq(hCol), "left_semi")
+          .groupBy(col(hCol))
+          .agg(count(lit(1)).as("_hc"), pm.as("_hm"))
+        sliced
+          .join(broadcast(hotTotals), Seq(hCol), "left")
+          .select(outCols
+            :+ when(col("_hot"), col("_hc")).otherwise(col("_wc")).as("_c0")
+            :+ when(col("_hot"), col("_hm")).otherwise(col("_wm")).as("_m0"): _*)
+      }
+
+    val merged = attached
+      .withColumn("_c", when(col("_c0") > 1, col("_c0")))
+      .withColumn("_first", when(col("_c0") > 1, col("_m0")))
+      .drop("_c0", "_m0")
+    joinType match {
+      case "inner" => merged.where(col("_c").isNotNull)
+      case "left"  => merged
+      case t => throw new IllegalArgumentException(s"unsupported joinType $t")
+    }
   }
 
   /** Attach an observable dropped-bucket metric ahead of a bucket-cap

@@ -187,4 +187,71 @@ object Pipeline {
         round(col("rate") *
           coalesce(col("available_tokens"), lit(0L)).cast("double")).cast("long"))
   }
+
+  /** Deterministic per-group cap ("domain balancing" — e.g. at most N
+    * documents per registrable domain, the standard web-corpus guard
+    * against one boilerplate-heavy site dominating the mixture): keeps
+    * the `maxPerGroup` rows of each group with the smallest
+    * `portableHash(key) >> 7` (ties by key asc) — a hash-uniform,
+    * reproducible subsample of every group. The `>> 7` keeps the
+    * priority under 2^53, so the aggregator's Double score is EXACT and
+    * engine/oracle selection orders are identical bit-for-bit.
+    *
+    * Scale rationale: selection is a bounded top-k AGGREGATION
+    * ([[Similarity.TopKByScore]] — map-side partials hold ≤ maxPerGroup
+    * candidates per (task, group)), never `row_number` over a per-group
+    * window: a 10^8-doc hot domain costs its share of the scan plus
+    * ≤ cap·tasks shuffle rows, not one single-task sort. The kept-key
+    * frame (≤ |groups|·cap rows) joins back LEFT SEMI on the unique
+    * `keyCol`; AQE broadcasts it when it fits.
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val topk = Similarity.topKAggFor(df.schema(keyCol).dataType, maxPerGroup)
+    val pri = -shiftright(
+      TextOps.portableHash(col(keyCol).cast("string")), 7).cast("double")
+    val kept = df
+      .select(col(groupCol).as("_g"), col(keyCol).as("_k"), pri.as("_s"))
+      .groupBy(col("_g"))
+      .agg(topk(col("_k"), col("_s")).as("_top"))
+      .select(explode(col("_top.key")).as("_kk"))
+    df.join(kept, col(keyCol) === col("_kk"), "left_semi")
+  }
+
+  /** Deterministic disjoint multi-way split (train/val/test):
+    * `splits` = ordered (label, fraction) with fractions in [0,1]
+    * summing to ≤ 1. Each row's granule
+    * `portableHash(key) mod 1e6` falls into exactly one contiguous
+    * cumulative range, so the labels PARTITION the keyspace — no row in
+    * two splits, ever, under any re-run, repartitioning, or engine
+    * (the property train/test hygiene actually requires; sampling each
+    * split independently would leak). Rows past the last cumulative cut
+    * (fractions summing below 1) get a NULL label = unassigned.
+    * Scan-only: no shuffle, no RNG state; same granule space and
+    * rounding as [[stratifiedSample]], so a split can be composed with
+    * nested-sample ablations.
+    */
+  def assignSplit(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0.0), "split fractions must be non-negative")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val bucket = pmod(TextOps.portableHash(col(keyCol).cast("string")),
+      lit(SampleGranularity))
+    val cuts = splitCuts(splits)
+    val labeled = splits.zip(cuts).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), cut)) =>
+        coalesce(acc, when(bucket < cut, lit(name)))
+    }
+    df.withColumn("split", labeled)
+  }
+
+  /** Cumulative granule cuts for [[assignSplit]] — shared with oracle
+    * SQL renderings so both engines round identically (round, not
+    * truncate: same rationale as [[stratifiedSample]]).
+    */
+  def splitCuts(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(f => math.round(f * SampleGranularity))
 }

@@ -264,7 +264,7 @@ object Similarity {
     * brute-force |corpus|; recall < 1 near cell boundaries. Top-k uses
     * the bounded [[TopKByScore]] aggregator, never a full-stream sort.
     */
-  private def topKAggFor(keyType: org.apache.spark.sql.types.DataType, k: Int) =
+  private[ops] def topKAggFor(keyType: org.apache.spark.sql.types.DataType, k: Int) =
     keyType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
         udaf(new TopKByScore[Long](k))

@@ -1138,18 +1138,15 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(one.map(_._1) == Set(10L, 11L, 12L, 13L), "null key/text rows are excluded")
   }
 
-  test("attachDupGroups: one shared exchange per op — single corpus scan, kernel never recomputed") {
-    // The skew-safe occurrence attach consumes its input twice (partial
-    // aggregation + join-back probe). Both consumers MUST read the same
-    // shuffle stage (ReuseExchange): if the two exchange subtrees stop
-    // canonicalizing equal — ColumnPruning narrowing the aggregation
-    // branch, or InferFiltersFromConstraints adding IsNotNull to the
-    // probe branch — the expensive scan (md5 fingerprint / gram kernel)
-    // silently runs twice. Parquet-backed input: local relations
-    // constant-fold the kernels and hide the regression.
+  test("attachDupGroups cold path: pure window plan — single corpus scan, kernel never recomputed") {
+    // With no hot vocabulary (every realistic corpus shard), the attach
+    // MUST compile to the plain single-window plan: exactly one file
+    // scan (the kernel runs once) and no salting/joining machinery. The
+    // strategy probe's sample job is eager and leaves no trace in the
+    // final plan. Parquet-backed input: local relations constant-fold
+    // the kernels and hide recompute regressions.
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def allNodes(p: SparkPlan): Seq[SparkPlan] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -1181,14 +1178,52 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       d.collect()
       val nodes = allNodes(d.queryExecution.executedPlan)
       val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
-      val reused = nodes.count(_.isInstanceOf[ReusedExchangeExec])
       assert(scans == expectedScans,
         s"$name: expected $expectedScans corpus scan(s), planned $scans — " +
           s"branch recompute regression\n${d.queryExecution.executedPlan.treeString.take(4000)}")
-      assert(reused >= 1,
-        s"$name: the attach's two consumers no longer share an exchange " +
-          s"(no ReusedExchange in the final plan)")
+      assert(!d.queryExecution.executedPlan.treeString.contains("_salt"),
+        s"$name: cold corpus took the salted hot path — strategy probe broken")
     }
+  }
+
+  test("attachDupGroups hot path: detected hot key routes through salts, results exact") {
+    // A fingerprint duplicated 100k× in a 200k-doc corpus is caught by
+    // the deterministic 1/1024 sample (expected ~98 sampled hits, well
+    // past HotSampledMin = 32) and must route through the salted
+    // window, with results BIT-IDENTICAL to the cold semantics
+    // (routing is the only thing detection affects — the oracle
+    // property).
+    val dir = java.nio.file.Files.createTempDirectory("duphot").toString + "/docs"
+    spark.range(200000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 2 = 1 THEN 'the same hot doc body here' " +
+      "ELSE concat('unique tail ', id, ' words') END AS text")
+      .write.parquet(dir)
+    val pq = spark.read.parquet(dir)
+    val drops = Dedup.exactDuplicates(pq, "doc_id", "text")
+    // the salted plan must actually be chosen
+    drops.collect()
+    assert(drops.queryExecution.executedPlan.treeString.contains("_salt"),
+      "hot corpus did not take the salted path — strategy probe broken")
+    // exact semantics: all odd ids except the minimum (1) are dropped,
+    // every drop row names the survivor
+    val got = drops.as[(Long, Long)].collect()
+    assert(got.length == 99999)
+    assert(got.forall { case (id, keep) => id % 2 == 1 && id != 1L && keep == 1L })
+    // a boilerplate-SIZED group (df ~2k) must stay cold: the hot branch
+    // exists for task-scale keys only (see HotSampledMin)
+    val mild = spark.range(20000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 10 = 1 THEN 'mildly duplicated body' " +
+      "ELSE concat('unique tail ', id, ' words') END AS text")
+    val mildDrops = Dedup.exactDuplicates(mild, "doc_id", "text")
+    mildDrops.collect()
+    assert(!mildDrops.queryExecution.executedPlan.treeString.contains("_salt"),
+      "boilerplate-sized group took the hot path — threshold miscalibrated")
+    // segment stats over the hot corpus: odd docs are one hot 6-word
+    // segment (within width 8), even docs unique → dup segment count
+    // is exactly the odd half
+    val st = Dedup.segmentStats(pq, "doc_id", "text", width = 8)
+      .agg(sum("n_segments"), sum("n_dup_segments")).as[(Long, Long)].head()
+    assert(st._1 == 200000L && st._2 == 100000L)
   }
 
   test("incremental probes: over-cap batches fall back to shuffle semi joins, identical output") {

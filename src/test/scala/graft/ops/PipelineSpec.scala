@@ -426,4 +426,75 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // rates feed stratifiedSample: all within [0, 1] here
     assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
   }
+
+  // === capPerGroup ===
+
+  test("capPerGroup: bounded per group, small groups intact, equals the window form") {
+    // 4 groups of 500 + one 3-row group (below the cap)
+    val df = corpus.union(Seq((9001L, "tiny"), (9002L, "tiny"), (9003L, "tiny"))
+      .toDF("doc_id", "source"))
+    val out = Pipeline.capPerGroup(df, "doc_id", "source", 10)
+    val sizes = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes.filterKeys(_ != "tiny").values.forall(_ == 10L))
+    assert(sizes("tiny") == 3L)
+    // declarative differential: the row_number window over the same
+    // priority must select the identical key set
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(shiftright(TextOps.portableHash(col("doc_id").cast("string")), 7),
+        col("doc_id"))
+    val ref = df.withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == ref)
+    // all original columns survive the semi join
+    assert(out.columns.toSeq == df.columns.toSeq)
+  }
+
+  test("capPerGroup: monotone in the cap (cap-5 selection nested in cap-10)") {
+    val five = Pipeline.capPerGroup(corpus, "doc_id", "source", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val ten = Pipeline.capPerGroup(corpus, "doc_id", "source", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(five.subsetOf(ten) && five.size == 20 && ten.size == 40)
+  }
+
+  // === assignSplit ===
+
+  test("assignSplit: disjoint partition of the keyspace, deterministic, near-proportional") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.05)
+    val out = Pipeline.assignSplit(corpus, "doc_id", splits)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    // every row gets exactly one label (or null for the residual 5%)
+    assert(counts.values.sum == 2000L)
+    assert(counts.keySet == Set("train", "val", "test", null))
+    // near-proportional: 2000 keys, hash-uniform → binomial tolerance
+    assert(math.abs(counts("train") - 1600L) < 80)
+    assert(math.abs(counts("val") - 200L) < 60)
+    // stable under repartitioning (membership is key-only)
+    val re = Pipeline.assignSplit(corpus.repartition(17), "doc_id", splits)
+      .where(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    val first = out.where(col("split") === "val")
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == first)
+  }
+
+  test("assignSplit: composes with stratifiedSample on the shared granule space") {
+    // sampling at 0.8 keeps exactly the train split of an 0.8/0.2 split:
+    // both tests of the same granule < 800000 cut
+    val split = Pipeline.assignSplit(corpus, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .where(col("split") === "train").select("doc_id").as[Long].collect().toSet
+    val samp = Pipeline.stratifiedSample(corpus, "doc_id", "source",
+        Map.empty, defaultRate = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(split == samp)
+  }
+
+  test("assignSplit rejects over-unity and negative fractions") {
+    intercept[IllegalArgumentException] {
+      Pipeline.assignSplit(corpus, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.assignSplit(corpus, "doc_id", Seq("a" -> -0.1))
+    }
+  }
 }
