@@ -441,9 +441,13 @@ object SparkEntry {
     "val_drift" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       val hist = Checks.histogram(docs, "n_chars", 50.0, Seq("lang"))
-      val total = docs.count().toDouble
+      // corpus total as a 1-row cross join (the Checks.scala broadcast-
+      // total idiom), not an eager docs.count(): the count was one extra
+      // driver job per run — same double division, identical output
+      val total = docs.agg(count(lit(1)).cast("double").as("_t"))
       val base = Checks.histogram(docs, "n_chars", 50.0)
-        .select(col("bucket"), (col("n") / total).as("p"))
+        .crossJoin(total)
+        .select(col("bucket"), (col("n") / col("_t")).as("p"))
       Checks.driftByGroup(hist, Seq("lang"), base)
         .select(col("lang"), round(col("kl"), 6).as("kl"), round(col("psi"), 6).as("psi"))
     }),
@@ -901,15 +905,22 @@ object SparkEntry {
         .limit(10)
     }),
 
-    "q_window_first_ship" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    // first-shipment row per supplier. Computed as min(struct(...)) —
+    // lexicographic struct comparison ≡ the row_number() window ordered
+    // by (l_shipdate, l_orderkey, l_linenumber) asc this replaces (the
+    // key triple is unique, so rn=1 picks exactly the struct minimum),
+    // but with map-side partial aggregation: the shuffle carries one
+    // row per (supplier, task) instead of every lineitem row, and the
+    // per-partition window SORT disappears (guide §2.3 "aggregate
+    // before you shuffle"; plan: Exchange+Sort+Window → partial/final
+    // HashAggregate, see plans/r06/q_window_first_ship_*.txt).
+    "q_window_first_ship" -> ((s, dir) =>
       read(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
-    }),
+        .groupBy(col("l_suppkey"))
+        .agg(min(struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))
+          .as("_f"))
+        .select(col("l_suppkey"), col("_f").getField("l_orderkey").as("l_orderkey"),
+          col("_f").getField("l_linenumber").as("l_linenumber"))),
 
     "q_events_daily" -> ((s, dir) =>
       read(s, dir, "events")

@@ -165,18 +165,28 @@ object SpecInfer {
   def inferRows(df: DataFrame, enumMax: Int = DefaultEnumMax): DataFrame = {
     val fields = df.schema.fields.filter(f => isAtomic(f.dataType))
     require(fields.nonEmpty, "no inferable columns")
+    // The multi-column `countDistinct` family and the `collect_set`
+    // family are aggregated in SEPARATE subtrees, recombined by a 1-row
+    // cross join (the Checks.scala 1-row-total precedent): mixing them
+    // in one Aggregate makes RewriteDistinctAggregates plan the
+    // TypedImperative collect_set through Expand × (n_distinct_groups+1)
+    // SortAggregates — measured 4.7 s vs 0.39 s at sf0.1 for
+    // bit-identical output (DiagInfer, round 6). Each subtree is one
+    // scan with map-side partial aggregation; two scans beat one
+    // Expand-multiplied sort-aggregate at every scale.
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"),
-        countDistinct(c).as(s"${f.name}__dist")) ++
-      (if (f.dataType == StringType)
-         Seq(array_join(sort_array(collect_set(c)), ",").as(s"${f.name}__set"))
-       else Nil)
+        countDistinct(c).as(s"${f.name}__dist"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val setAggs: Seq[Column] = fields.filter(_.dataType == StringType).map(f =>
+      array_join(sort_array(collect_set(col(f.name))), ",").as(s"${f.name}__set"))
+    val wide0 = df.agg(aggs.head, aggs.tail: _*)
+    val wide = if (setAggs.isEmpty) wide0
+      else wide0.crossJoin(df.agg(setAggs.head, setAggs.tail: _*))
     val stacked = fields.map { f =>
       val enumCol =
         if (f.dataType == StringType)

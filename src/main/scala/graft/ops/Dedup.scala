@@ -21,13 +21,60 @@ object Dedup {
 
   /** Salt fan-out of [[attachDupGroups]]: a content fingerprint hotter
     * than ~task-size spreads over this many (fingerprint, salt) slices.
+    * Default for [[OccSaltsKey]].
     */
   val OccSalts = 64
 
   /** Hot-vocabulary detection sample rate for [[attachDupGroups]]:
     * 1-in-this docs are counted; see the scaling-rule note there.
+    * Default for [[HotSampleModKey]].
     */
   val HotSampleMod = 1024L
+
+  // ---- scale-tuning session confs (defaults = the proven bench/soak
+  // values; every dedup entry point resolves them per call, so a 10^12
+  // deployment tunes via `spark.conf.set` without an API change) ----
+
+  /** Conf key for [[HotSampleMod]]. The scaling rule (attachDupGroups
+    * scaladoc): |hot vocab| ≤ N/(HotSampledMin·HotSampleMod) must fit a
+    * broadcast while undetected groups (≲ a few × HotSampleMod rows)
+    * must fit a window partition — at N = 10^12 set this to 10^5-10^6
+    * (hot vocab ≤ ~3×10^4 keys, undetected groups ≤ a few million
+    * rows), vs the default 1024 that is right for ≤10^9-row corpora.
+    */
+  val HotSampleModKey = "spark.graft.dedup.hotSampleMod"
+
+  /** Conf key for [[HotSampledMin]] (sampled-occurrence hot threshold). */
+  val HotSampledMinKey = "spark.graft.dedup.hotSampledMin"
+
+  /** Conf key for [[OccSalts]] (hot-key salt fan-out; power of two). */
+  val OccSaltsKey = "spark.graft.dedup.occSalts"
+
+  /** Conf key: inputs whose LEAF-scan size estimate is at or below this
+    * many bytes skip the hot-vocabulary sample job entirely and compile
+    * the plain single-window plan — the probe is a strategy choice, not
+    * a correctness gate (both routes are exact), and at small input no
+    * key can be hot. Derivation of the 4 MiB default: occurrence rows ≤
+    * ~2× compressed input bytes (worst case: one rolling gram per ~5-
+    * byte word at 10× text compression), so the worst single window
+    * partition is ≤ ~8M rows — under the 10M-row single-task window the
+    * round-4 soaks proved cliff-free. Raise only with that proof in
+    * hand; set 0 to always probe (tests do).
+    */
+  val ProbeMinBytesKey = "spark.graft.dedup.probeMinBytes"
+
+  /** Default for [[ProbeMinBytesKey]]. */
+  val ProbeMinBytesDefault: Long = 4L << 20
+
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.get(key, dflt.toString).toLong
+
+  /** Total size estimate (bytes) of a plan's leaf relations — file sizes
+    * for parquet scans. Driver-only (no job): used to SKIP defensive
+    * machinery that only matters at scale. Routing only, never results.
+    */
+  private[ops] def leafInputBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
 
   /** Sampled-occurrence threshold above which a fingerprint is routed
     * through the salted hot path (≥ 32 at 1/1024 sampling ⇒ true df
@@ -57,10 +104,27 @@ object Dedup {
     * the already-small batch side). Above it, the plain join lets Spark
     * plan a shuffle semi join — identical output, no driver collect.
     */
-  private def semiJoinSmall(big: DataFrame, keys: DataFrame,
+  private[ops] def semiJoinSmall(big: DataFrame, keys: DataFrame,
       on: Seq[String], maxBroadcastKeys: Long): DataFrame =
     if (keys.count() <= maxBroadcastKeys) big.join(broadcast(keys), on, "left_semi")
     else big.join(keys, on, "left_semi")
+
+  /** The incremental probes' ONE eager driver job: over the batch's
+    * distinct `(key..., _pb)` rows, the distinct-key count (gates the
+    * probe broadcast, [[MaxBroadcastKeys]]) and the distinct `_pb`
+    * bucket list (storage-level partition pruning; bounded by
+    * nPartBuckets). Folding both into a single aggregation halves the
+    * eager batch passes the previous two-job form paid (guide §1: the
+    * per-probe fixed cost was two scheduled jobs at bench scale, two
+    * batch kernel passes at corpus scale). `_pb` is a function of the
+    * key columns, so distinct (key..., _pb) tuples ≡ distinct keys.
+    */
+  private def probeStats(distinctKeyPb: DataFrame): (Long, Seq[Long]) = {
+    val r = distinctKeyPb
+      .agg(count(lit(1)).as("_nk"), collect_set(col("_pb")).as("_pbs"))
+      .collect()(0)
+    (r.getLong(0), r.getSeq[Long](1))
+  }
 
   /** Skew-safe replacement for `agg(...) OVER (PARTITION BY hCol)` on a
     * corpus-scale content-fingerprint key: the group minimum `_first`
@@ -139,8 +203,14 @@ object Dedup {
     * child to count(1), dropping the references).
     */
   private def attachDupGroups(rows: DataFrame, hCol: String, saltCol: Column,
-      orderCols: Seq[String], joinType: String,
-      nSalts: Int = OccSalts): DataFrame = {
+      orderCols: Seq[String], joinType: String): DataFrame = {
+    // scale knobs resolved per call from the session conf (defaults =
+    // the proven constants; see the conf-key scaladocs and the scaling
+    // rule below) — routing only, results identical at any setting
+    val hotSampleMod = confLong(rows, HotSampleModKey, HotSampleMod)
+    val hotSampledMin = confLong(rows, HotSampledMinKey, HotSampledMin)
+    val nSalts = confLong(rows, OccSaltsKey, OccSalts.toLong).toInt
+    val probeMinBytes = confLong(rows, ProbeMinBytesKey, ProbeMinBytesDefault)
     val payloadCols = (orderCols ++
       rows.columns.filterNot(c => c == hCol || orderCols.contains(c)))
       .map(col).toIndexedSeq
@@ -169,11 +239,11 @@ object Dedup {
     // so Catalyst pushes it below the caller's Generate/Project and the
     // kernel runs on the sliver, not the corpus
     val hotV = rows
-      .where(pmod(xxhash64(saltCol), lit(HotSampleMod)) === 0L)
+      .where(pmod(xxhash64(saltCol), lit(hotSampleMod)) === 0L)
       .where(col(hCol).isNotNull)
       .groupBy(col(hCol))
       .agg(count(lit(1)).as("_shc"))
-      .where(col("_shc") >= HotSampledMin)
+      .where(col("_shc") >= hotSampledMin)
       .select(col(hCol), lit(true).as("_hot"))
 
     val base = rows.where(col(hCol).isNotNull)
@@ -186,8 +256,13 @@ object Dedup {
     // ValidationEngine. `-Dgraft.dedup.forceCold=true` is a TEST-ONLY
     // override that pins the window plan regardless — SoakBench's
     // negative control, proving its skew gate fires on the unsalted
-    // form of a mega-hot corpus.
+    // form of a mega-hot corpus. Small inputs (leaf-scan estimate ≤
+    // probeMinBytes) skip the probe JOB too and compile the window plan
+    // directly: no key of a small corpus can reach task scale, so the
+    // sample job would be pure fixed overhead (~0.2-0.3 s per attach
+    // site at bench scale — measured round 6) for a foregone answer.
     val anyHot = !java.lang.Boolean.getBoolean("graft.dedup.forceCold") &&
+      leafInputBytes(rows) > probeMinBytes &&
       !hotV.isEmpty
 
     val attached =
@@ -375,12 +450,13 @@ object Dedup {
       .select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
       .where(col("fp").isNotNull)
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
-    val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
+    val (nKeys, pbs) = probeStats(newRows.select("fp", "_pb").distinct())
     val newFps = newRows.select("fp").distinct()
-    val oldMatched = semiJoinSmall(
-      spark.read.parquet(indexPath)
-        .where(col("_pb").cast("long").isin(pbs: _*)), // partition pruning
-      newFps, Seq("fp"), maxBroadcastKeys)
+    val pruned = spark.read.parquet(indexPath)
+      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
+    val oldMatched = (if (nKeys <= maxBroadcastKeys)
+        pruned.join(broadcast(newFps), Seq("fp"), "left_semi")
+      else pruned.join(newFps, Seq("fp"), "left_semi"))
       .select(col("fp"), col("id"), lit(false).as("is_new"))
     val unioned = newRows.select(col("fp"), col("id"), lit(true).as("is_new"))
       .union(oldMatched)
@@ -572,12 +648,14 @@ object Dedup {
       maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val newRows = bandRows(minhashSignature(newBatch, keyCol, textCol, k),
       keyCol, k, rowsPerBand, nPartBuckets)
-    val pbs = newRows.select("_pb").distinct().collect().map(_.getLong(0))
+    val (nKeys, pbs) = probeStats(
+      newRows.select(col("band_idx"), col("band"), col("_pb")).distinct())
     val newBands = newRows.select(col("band_idx"), col("band")).distinct()
-    val oldMatched = semiJoinSmall(
-      spark.read.parquet(indexPath)
-        .where(col("_pb").cast("long").isin(pbs: _*)), // partition pruning
-      newBands, Seq("band_idx", "band"), maxBroadcastKeys)
+    val pruned = spark.read.parquet(indexPath)
+      .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
+    val oldMatched = (if (nKeys <= maxBroadcastKeys)
+        pruned.join(broadcast(newBands), Seq("band_idx", "band"), "left_semi")
+      else pruned.join(newBands, Seq("band_idx", "band"), "left_semi"))
       .select(col("id"), col("band_idx"), col("band"), lit(false).as("is_new"))
     val buckets = observeCap(
       newRows.select(col("id"), col("band_idx"), col("band"), lit(true).as("is_new"))
@@ -1061,12 +1139,13 @@ object Dedup {
     val segs = segmentRows(newBatch, keyCol, textCol, width)
       .withColumn("fp", unhex(md5(col("seg").cast("binary"))))
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
-    val pbs = segs.select("_pb").distinct().collect().map(_.getLong(0))
+    // one probe job gates BOTH broadcasts (oldHit ⊆ batchFps, so the
+    // same bound covers it) AND yields the pruning bucket list: past
+    // the cap, plain joins fall back to shuffle joins — identical
+    // output, no driver collect
+    val (nKeys, pbs) = probeStats(segs.select("fp", "_pb").distinct())
     val batchFps = segs.select("fp").distinct()
-    // one size probe gates BOTH broadcasts (oldHit ⊆ batchFps, so the
-    // same bound covers it): past the cap, plain joins fall back to
-    // shuffle joins — identical output, no driver collect
-    val fpsSmall = batchFps.count() <= maxBroadcastKeys
+    val fpsSmall = nKeys <= maxBroadcastKeys
     def whenSmall(d: DataFrame): DataFrame = if (fpsSmall) broadcast(d) else d
     val indexAll = spark.read.parquet(indexPath)
       .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
@@ -1128,6 +1207,47 @@ object Dedup {
     * least one pair (singletons are not duplicates and never enter the
     * graph).
     */
+  /** Conf key: edge-count bound for [[connectedComponents]]' local fast
+    * path. A pair graph at or under this many edges (known exactly — the
+    * edges are materialized and counted before the choice) is solved by
+    * driver-side union-find in one collect instead of O(log d) rounds of
+    * 2 distributed joins + a count each: LSH pair graphs at bench scale
+    * are thousands of edges, where the iterative form is pure scheduling
+    * overhead (~1 s measured round 6), while the driver cost is bounded
+    * at ~32 MB of edge rows. Identical labels by construction — both
+    * forms assign every node the component minimum. Set 0 to force the
+    * iterative path (soaks do).
+    */
+  val CcMaxLocalEdgesKey = "spark.graft.cc.maxLocalEdges"
+
+  /** Default for [[CcMaxLocalEdgesKey]]. */
+  val CcMaxLocalEdgesDefault: Long = 1000000L
+
+  /** Driver-side union-find over collected edges: every node appearing
+    * in ≥ 1 pair labeled with its component minimum — the same contract
+    * as the iterative path, proven equal on random graphs by OpsSpec.
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by min: the smaller root stays a root
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
@@ -1146,6 +1266,32 @@ object Dedup {
     val (edges, edgeIds) = checkpointTracked(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+
+    // local fast path: the edge count is exact (one cheap count over the
+    // just-checkpointed blocks) and bounds the collect; long-keyed
+    // small graphs resolve driver-side (see [[CcMaxLocalEdgesKey]]).
+    // A null endpoint (impossible for LSH pairs, representable in the
+    // general contract) falls back to the iterative path, whose
+    // null-join semantics are the documented behavior.
+    val maxLocal = confLong(pairs, CcMaxLocalEdgesKey, CcMaxLocalEdgesDefault)
+    val longKeyed = pairs.schema(aCol).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    if (longKeyed && maxLocal > 0 && edges.count() <= maxLocal) {
+      val rows = edges.collect()
+      if (!rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val labeled = localComponents(rows.map(r => (r.getLong(0), r.getLong(1))))
+        free(edgeIds)
+        // LocalRelation (not parallelize): the result carries REAL size
+        // stats, so a downstream join against the corpus (canonical
+        // selection) can plan the broadcast this label frame merits
+        return pairs.sparkSession
+          .createDataset(labeled)(
+            org.apache.spark.sql.Encoders.product[(Long, Long)])
+          .toDF("id", "cluster_id")
+      }
+    }
+
     var (labels, labelIds) = checkpointTracked(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")))
@@ -1199,17 +1345,47 @@ object Dedup {
     * plans the semi join as BroadcastHashJoin; nothing corpus-sized
     * ever crosses the wire.
     */
+  /** Conf key: eval-set inputs whose leaf-scan size estimate is at or
+    * below this many bytes broadcast their distinct shingle/gram set
+    * WITHOUT a count probe (the "eval benchmarks are small" contract
+    * honored for free). Above it, the [[semiJoinSmall]] guard the
+    * incremental probes use takes over: one count job, broadcast under
+    * [[MaxBroadcastKeys]] keys, shuffle semi beyond — identical output,
+    * never a driver OOM. 16 MiB default: ≤ ~160 MB raw text at 10×
+    * compression → ≤ ~32M grams → ≤ ~256 MB broadcast worst case,
+    * inside executor budgets; real eval sets are orders of magnitude
+    * under it, corpus-sized "benchmarks" are orders over.
+    */
+  val DeconBenchMaxBytesKey = "spark.graft.decon.benchMaxBytes"
+
+  /** Default for [[DeconBenchMaxBytesKey]]. */
+  val DeconBenchMaxBytesDefault: Long = 16L << 20
+
+  /** The guarded eval-side attach shared by text and token decon: LEFT
+    * SEMI of exploded corpus keys against the distinct eval key set —
+    * direct broadcast for contract-sized eval inputs, count-gated
+    * broadcast/shuffle fallback past [[DeconBenchMaxBytesKey]].
+    */
+  private[ops] def deconSemiJoin(corpusKeys: DataFrame, benchKeys: DataFrame,
+      benchInput: DataFrame, on: Seq[String]): DataFrame =
+    if (leafInputBytes(benchInput) <=
+        confLong(benchInput, DeconBenchMaxBytesKey, DeconBenchMaxBytesDefault))
+      corpusKeys.join(broadcast(benchKeys), on, "left_semi")
+    else semiJoinSmall(corpusKeys, benchKeys, on,
+      confLong(benchInput, "spark.graft.dedup.maxBroadcastKeys", MaxBroadcastKeys))
+
   def contaminationScores(corpus: DataFrame, keyCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String): DataFrame = {
     val bsh = bench
       .select(explode(shingles(col(benchTextCol))).as("s0"))
       .select(xxhash64(col("s0")).as("s"))
       .distinct()
-    corpus
-      .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
-      .join(broadcast(bsh), Seq("s"), "left_semi")
+    deconSemiJoin(
+      corpus
+        .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
+        .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+        .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s")),
+      bsh, bench, Seq("s"))
       .groupBy(col("id"), col("n_sh"))
       .agg(count(lit(1)).as("n_overlap"))
       .withColumn("contamination",

@@ -108,11 +108,15 @@ object SeqOps {
       .select(explode(tokenGrams(col(benchTokensCol), n)).as("g0"))
       .select(xxhash64(col("g0")).as("g"))
       .distinct()
-    corpus
-      .select(col(keyCol).as("id"), tokenGrams(col(tokensCol), n).as("gs"))
-      .select(col("id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g0"))
-      .select(col("id"), col("n_grams"), xxhash64(col("g0")).as("g"))
-      .join(broadcast(bg), Seq("g"), "left_semi")
+    // eval-side broadcast guarded like the text form: direct for
+    // contract-sized eval inputs, count-gated fallback past the conf
+    // bound (see Dedup.DeconBenchMaxBytesKey) — identical output
+    Dedup.deconSemiJoin(
+      corpus
+        .select(col(keyCol).as("id"), tokenGrams(col(tokensCol), n).as("gs"))
+        .select(col("id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g0"))
+        .select(col("id"), col("n_grams"), xxhash64(col("g0")).as("g")),
+      bg, bench, Seq("g"))
       .groupBy(col("id"), col("n_grams"))
       .agg(count(lit(1)).as("n_overlap"))
       .withColumn("contamination",

@@ -602,14 +602,18 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("connectedComponents frees superseded checkpoint blocks (no per-round leak)") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    // a 40-deep chain forces several propagate+jump rounds
-    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
-    val out = Dedup.connectedComponents(pairs, "a", "b")
-    assert(out.where(col("cluster_id") === 0L).count() == 41L)
-    val leaked = sc.getPersistentRDDs.keySet -- before
-    // only the FINAL labels checkpoint may remain persisted — every
-    // superseded round's copy and the edge blocks must be freed
-    assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+    // a 40-deep chain forces several propagate+jump rounds; the local
+    // fast path is disabled so the ITERATIVE machinery is under test
+    spark.conf.set(Dedup.CcMaxLocalEdgesKey, "0")
+    try {
+      val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+      val out = Dedup.connectedComponents(pairs, "a", "b")
+      assert(out.where(col("cluster_id") === 0L).count() == 41L)
+      val leaked = sc.getPersistentRDDs.keySet -- before
+      // only the FINAL labels checkpoint may remain persisted — every
+      // superseded round's copy and the edge blocks must be freed
+      assert(leaked.size <= 1, s"leaked checkpoint RDDs: $leaked")
+    } finally spark.conf.unset(Dedup.CcMaxLocalEdgesKey)
   }
 
   test("connectedComponents ≡ brute-force transitive closure on a random pair graph") {
@@ -626,9 +630,17 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
     val expect = nodes.map(n => n -> find(n)).toMap
+    // default confs: the LOCAL fast path (long keys, small edge count)
     val got = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expect)
+    // forced ITERATIVE path must agree row-for-row with the fast path
+    spark.conf.set(Dedup.CcMaxLocalEdgesKey, "0")
+    try {
+      val gotIter = Dedup.connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotIter == expect)
+    } finally spark.conf.unset(Dedup.CcMaxLocalEdgesKey)
   }
 
   test("PQ: every-vector-as-codeword reconstruction is exact — pqTopK ≡ brute force; ADC bit-equal to dot") {
@@ -934,6 +946,44 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  test("decontamination guard: oversized eval sets fall back (count gate, then shuffle semi), identical output") {
+    // The eval-side broadcast is a CONTRACT ("eval benchmarks are
+    // small"), now enforced like the incremental probes: past the
+    // benchMaxBytes estimate gate a count job decides broadcast vs
+    // shuffle semi. Both fallback stages must be bit-identical to the
+    // direct-broadcast path, for the text AND token forms.
+    val corpus = Seq(
+      (0L, "the cat sat on the mat today"),
+      (1L, "completely unrelated text about shuffles and joins"),
+      (2L, "the cat sat down")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val tokCorpus = corpus.select(col("doc_id"),
+      SeqOps.tokenize(col("text"), 4096).as("toks"))
+    val tokBench = bench.select(col("doc_id"),
+      SeqOps.tokenize(col("text"), 4096).as("toks"))
+    def textRun() = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def tokRun() = SeqOps.tokenContaminationScores(
+        tokCorpus, "doc_id", "toks", tokBench, "toks", n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val (textWant, tokWant) = (textRun(), tokRun())
+    assert(textWant.nonEmpty && tokWant.nonEmpty)
+    // stage 1: estimate gate trips, count job says "still broadcastable"
+    spark.conf.set(Dedup.DeconBenchMaxBytesKey, "0")
+    try {
+      assert(textRun() == textWant)
+      assert(tokRun() == tokWant)
+      // stage 2: count gate trips too — plain shuffle semi join
+      spark.conf.set("spark.graft.dedup.maxBroadcastKeys", "0")
+      assert(textRun() == textWant)
+      assert(tokRun() == tokWant)
+    } finally {
+      spark.conf.unset(Dedup.DeconBenchMaxBytesKey)
+      spark.conf.unset("spark.graft.dedup.maxBroadcastKeys")
+    }
+  }
+
   private lazy val segDocs = Seq(
     // width 3 → segments: doc 10 = [A, B], doc 11 = [B, C],
     // doc 12 = one short chunk, doc 13 = [A, A] (within-doc repeat of a
@@ -1199,31 +1249,75 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "ELSE concat('unique tail ', id, ' words') END AS text")
       .write.parquet(dir)
     val pq = spark.read.parquet(dir)
-    val drops = Dedup.exactDuplicates(pq, "doc_id", "text")
-    // the salted plan must actually be chosen
-    drops.collect()
-    assert(drops.queryExecution.executedPlan.treeString.contains("_salt"),
-      "hot corpus did not take the salted path — strategy probe broken")
-    // exact semantics: all odd ids except the minimum (1) are dropped,
-    // every drop row names the survivor
-    val got = drops.as[(Long, Long)].collect()
-    assert(got.length == 99999)
-    assert(got.forall { case (id, keep) => id % 2 == 1 && id != 1L && keep == 1L })
-    // a boilerplate-SIZED group (df ~2k) must stay cold: the hot branch
-    // exists for task-scale keys only (see HotSampledMin)
-    val mild = spark.range(20000).selectExpr("id AS doc_id",
-      "CASE WHEN id % 10 = 1 THEN 'mildly duplicated body' " +
+    // the test corpus compresses under the small-input probe skip's
+    // default byte bound — force the probe so routing is under test
+    spark.conf.set(Dedup.ProbeMinBytesKey, "0")
+    try {
+      val drops = Dedup.exactDuplicates(pq, "doc_id", "text")
+      // the salted plan must actually be chosen
+      drops.collect()
+      assert(drops.queryExecution.executedPlan.treeString.contains("_salt"),
+        "hot corpus did not take the salted path — strategy probe broken")
+      // exact semantics: all odd ids except the minimum (1) are dropped,
+      // every drop row names the survivor
+      val got = drops.as[(Long, Long)].collect()
+      assert(got.length == 99999)
+      assert(got.forall { case (id, keep) => id % 2 == 1 && id != 1L && keep == 1L })
+      // a boilerplate-SIZED group (df ~2k) must stay cold: the hot branch
+      // exists for task-scale keys only (see HotSampledMin)
+      val mild = spark.range(20000).selectExpr("id AS doc_id",
+        "CASE WHEN id % 10 = 1 THEN 'mildly duplicated body' " +
+        "ELSE concat('unique tail ', id, ' words') END AS text")
+      val mildDrops = Dedup.exactDuplicates(mild, "doc_id", "text")
+      mildDrops.collect()
+      assert(!mildDrops.queryExecution.executedPlan.treeString.contains("_salt"),
+        "boilerplate-sized group took the hot path — threshold miscalibrated")
+      // segment stats over the hot corpus: odd docs are one hot 6-word
+      // segment (within width 8), even docs unique → dup segment count
+      // is exactly the odd half
+      val st = Dedup.segmentStats(pq, "doc_id", "text", width = 8)
+        .agg(sum("n_segments"), sum("n_dup_segments")).as[(Long, Long)].head()
+      assert(st._1 == 200000L && st._2 == 100000L)
+    } finally spark.conf.unset(Dedup.ProbeMinBytesKey)
+  }
+
+  test("attachDupGroups conf knobs: non-default sampleMod/salts route the same corpus identically") {
+    // The scaling rule (Dedup.HotSampleModKey) says a 10^12 deployment
+    // retunes (sampleMod, sampledMin, nSalts); results must be routing-
+    // invariant. sampleMod=1 counts EVERY doc (no sampling), a lower
+    // sampledMin with a different power-of-two fan-out re-routes mild
+    // groups hot — every variant must emit bit-identical rows, and the
+    // small-input skip (probeMinBytes default) must equal the probed
+    // plans.
+    val dir = java.nio.file.Files.createTempDirectory("dupknob").toString + "/docs"
+    spark.range(50000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 3 = 1 THEN 'knob corpus hot body text' " +
       "ELSE concat('unique tail ', id, ' words') END AS text")
-    val mildDrops = Dedup.exactDuplicates(mild, "doc_id", "text")
-    mildDrops.collect()
-    assert(!mildDrops.queryExecution.executedPlan.treeString.contains("_salt"),
-      "boilerplate-sized group took the hot path — threshold miscalibrated")
-    // segment stats over the hot corpus: odd docs are one hot 6-word
-    // segment (within width 8), even docs unique → dup segment count
-    // is exactly the odd half
-    val st = Dedup.segmentStats(pq, "doc_id", "text", width = 8)
-      .agg(sum("n_segments"), sum("n_dup_segments")).as[(Long, Long)].head()
-    assert(st._1 == 200000L && st._2 == 100000L)
+      .write.parquet(dir)
+    val pq = spark.read.parquet(dir)
+    def run(): Set[(Long, Long, Long, Double)] =
+      Dedup.segmentStats(pq, "doc_id", "text", width = 4)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dflt = run() // default confs: small input, probe skipped
+    val variants = Seq(
+      ("1", "2", "8"),     // count every doc, near-zero threshold, 8 salts
+      ("7", "3", "16"),    // odd sample mod
+      ("1024", "32", "64") // the shipped defaults, probe forced
+    )
+    for ((mod, min, salts) <- variants) {
+      spark.conf.set(Dedup.ProbeMinBytesKey, "0")
+      spark.conf.set(Dedup.HotSampleModKey, mod)
+      spark.conf.set(Dedup.HotSampledMinKey, min)
+      spark.conf.set(Dedup.OccSaltsKey, salts)
+      try assert(run() == dflt, s"results drifted at (mod=$mod, min=$min, salts=$salts)")
+      finally {
+        spark.conf.unset(Dedup.ProbeMinBytesKey)
+        spark.conf.unset(Dedup.HotSampleModKey)
+        spark.conf.unset(Dedup.HotSampledMinKey)
+        spark.conf.unset(Dedup.OccSaltsKey)
+      }
+    }
   }
 
   test("incremental probes: over-cap batches fall back to shuffle semi joins, identical output") {
