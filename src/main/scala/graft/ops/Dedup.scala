@@ -109,22 +109,100 @@ object Dedup {
     if (keys.count() <= maxBroadcastKeys) big.join(broadcast(keys), on, "left_semi")
     else big.join(keys, on, "left_semi")
 
-  /** The incremental probes' ONE eager driver job: over the batch's
-    * distinct `(key..., _pb)` rows, the distinct-key count (gates the
-    * probe broadcast, [[MaxBroadcastKeys]]) and the distinct `_pb`
-    * bucket list (storage-level partition pruning; bounded by
-    * nPartBuckets). Folding both into a single aggregation halves the
-    * eager batch passes the previous two-job form paid (guide §1: the
-    * per-probe fixed cost was two scheduled jobs at bench scale, two
-    * batch kernel passes at corpus scale). `_pb` is a function of the
-    * key columns, so distinct (key..., _pb) tuples ≡ distinct keys.
+  /** Conf key: distinct-key ceiling for the incremental probes' LOCAL
+    * key-set shortcut. At or under this many distinct batch keys, the
+    * single probe job collects the key set itself (bounded by a LIMIT of
+    * ceiling+1, so the driver never holds more than ceiling+1 rows) and
+    * the probe side becomes a LocalRelation — the broadcast-exchange
+    * subtree that recomputed the batch kernel a second time disappears
+    * from the plan entirely. Above it, the two-job form takes over:
+    * count+buckets aggregation, then broadcast under
+    * [[MaxBroadcastKeys]] / shuffle semi beyond — identical output at
+    * every tier. Default 65,536 keys ≈ 1-4 MB collected.
     */
-  private def probeStats(distinctKeyPb: DataFrame): (Long, Seq[Long]) = {
-    val r = distinctKeyPb
-      .agg(count(lit(1)).as("_nk"), collect_set(col("_pb")).as("_pbs"))
-      .collect()(0)
-    (r.getLong(0), r.getSeq[Long](1))
+  val LocalProbeKeysMaxKey = "spark.graft.dedup.localProbeKeysMax"
+
+  /** Default for [[LocalProbeKeysMaxKey]]. */
+  val LocalProbeKeysMaxDefault: Long = 65536L
+
+  /** The incremental probes' eager driver work over the batch's distinct
+    * `(key..., _pb)` rows (`_pb` is a function of the key columns, so
+    * distinct tuples ≡ distinct keys). Returns the pruning bucket list
+    * and, when the batch is small enough, the collected key rows for a
+    * LocalRelation probe side:
+    *
+    *   - ≤ localMax distinct keys (ONE job, LIMIT-bounded): `Some(rows)`
+    *     plus the bucket list derived from them — the common daily-
+    *     ingest case, and the only tier bench-scale inputs ever hit.
+    *   - above: `None` with the bucket list and exact key count from a
+    *     second aggregation job — the pre-existing guarded shape.
+    */
+  private def probeStats(distinctKeyPb: DataFrame):
+      (Option[Array[org.apache.spark.sql.Row]], Seq[Long], Long) = {
+    val localMax = confLong(distinctKeyPb, LocalProbeKeysMaxKey,
+      LocalProbeKeysMaxDefault)
+    val head = distinctKeyPb
+      .limit(math.min(localMax + 1, Int.MaxValue.toLong).toInt).collect()
+    if (head.length <= localMax) {
+      val pbIdx = head.headOption.map(_.fieldIndex("_pb")).getOrElse(0)
+      (Some(head), head.map(_.getLong(pbIdx)).distinct.toSeq, head.length.toLong)
+    } else {
+      val r = distinctKeyPb
+        .agg(count(lit(1)).as("_nk"), collect_set(col("_pb")).as("_pbs"))
+        .collect()(0)
+      (None, r.getSeq[Long](1), r.getLong(0))
+    }
   }
+
+  /** Conf key: partition-path count up to which an index read lists its
+    * bucket directories ON THE DRIVER instead of through Spark's
+    * parallel-partition-discovery JOB. Spark's default threshold (32)
+    * launches one distributed listing job per `spark.read` once an index
+    * has more than 32 bucket dirs — measured 0.5 s of pure scheduling
+    * per probe against a local-FS 256-bucket index, vs milliseconds of
+    * driver `listStatus` (DiagIncr, round 6). The knob keeps the
+    * TRADEOFF scale-correct: an index with more paths than this still
+    * gets the parallel job (the right call at 2^20 buckets on an object
+    * store); deployments on high-latency stores can lower it back
+    * toward Spark's 32.
+    */
+  val IndexSeqListingPathsKey = "spark.graft.index.seqListingPaths"
+
+  /** Default for [[IndexSeqListingPathsKey]]. */
+  val IndexSeqListingPathsDefault: Long = 4096L
+
+  /** Read a bucket-partitioned index directory with the sequential-
+    * listing threshold applied (restored after resolution — listing
+    * happens eagerly inside `spark.read.parquet`).
+    */
+  private def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key,
+      spark.conf.get(IndexSeqListingPathsKey,
+        IndexSeqListingPathsDefault.toString))
+    try spark.read.parquet(path) finally spark.conf.set(key, old)
+  }
+
+  /** The probe side as a DataFrame: a LocalRelation of the collected
+    * key rows (minus `_pb`) when [[probeStats]] returned them, else the
+    * distributed `fallback` plan.
+    */
+  private def probeSide(spark: org.apache.spark.sql.SparkSession,
+      local: Option[Array[org.apache.spark.sql.Row]],
+      schema: org.apache.spark.sql.types.StructType,
+      fallback: => DataFrame): DataFrame =
+    local match {
+      case Some(rows) =>
+        import scala.jdk.CollectionConverters._
+        val keep = schema.fieldNames.toSeq
+        spark.createDataFrame(
+          rows.toSeq.map(r =>
+            org.apache.spark.sql.Row.fromSeq(keep.map(f => r.get(r.fieldIndex(f))))).asJava,
+          schema)
+      case None => fallback
+    }
 
   /** Skew-safe replacement for `agg(...) OVER (PARTITION BY hCol)` on a
     * corpus-scale content-fingerprint key: the group minimum `_first`
@@ -202,8 +280,16 @@ object Dedup {
     * keep-alive: NullPropagation rewrites count over a non-nullable
     * child to count(1), dropping the references).
     */
+  /** `sizeBoundOn`: the frame whose leaf-scan estimate bounds the attach
+    * input volume for the probe-skip decision — callers whose attach
+    * input is PROVABLY bounded by a sub-frame (the segment rewrite's
+    * index side joins back as one distinct boolean marker per
+    * fingerprint, so occurrence rows = batch rows exactly) pass that
+    * sub-frame; everyone else defaults to the full input.
+    */
   private def attachDupGroups(rows: DataFrame, hCol: String, saltCol: Column,
-      orderCols: Seq[String], joinType: String): DataFrame = {
+      orderCols: Seq[String], joinType: String,
+      sizeBoundOn: Option[DataFrame] = None): DataFrame = {
     // scale knobs resolved per call from the session conf (defaults =
     // the proven constants; see the conf-key scaladocs and the scaling
     // rule below) — routing only, results identical at any setting
@@ -262,7 +348,7 @@ object Dedup {
     // sample job would be pure fixed overhead (~0.2-0.3 s per attach
     // site at bench scale — measured round 6) for a foregone answer.
     val anyHot = !java.lang.Boolean.getBoolean("graft.dedup.forceCold") &&
-      leafInputBytes(rows) > probeMinBytes &&
+      leafInputBytes(sizeBoundOn.getOrElse(rows)) > probeMinBytes &&
       !hotV.isEmpty
 
     val attached =
@@ -450,9 +536,10 @@ object Dedup {
       .select(unhex(fingerprint(col(textCol))).as("fp"), col(keyCol).as("id"))
       .where(col("fp").isNotNull)
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
-    val (nKeys, pbs) = probeStats(newRows.select("fp", "_pb").distinct())
-    val newFps = newRows.select("fp").distinct()
-    val pruned = spark.read.parquet(indexPath)
+    val (localKeys, pbs, nKeys) = probeStats(newRows.select("fp", "_pb").distinct())
+    val newFps = probeSide(spark, localKeys, newRows.select("fp").schema,
+      newRows.select("fp").distinct())
+    val pruned = readIndex(spark, indexPath)
       .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
     val oldMatched = (if (nKeys <= maxBroadcastKeys)
         pruned.join(broadcast(newFps), Seq("fp"), "left_semi")
@@ -648,10 +735,12 @@ object Dedup {
       maxBroadcastKeys: Long = MaxBroadcastKeys): DataFrame = {
     val newRows = bandRows(minhashSignature(newBatch, keyCol, textCol, k),
       keyCol, k, rowsPerBand, nPartBuckets)
-    val (nKeys, pbs) = probeStats(
+    val (localKeys, pbs, nKeys) = probeStats(
       newRows.select(col("band_idx"), col("band"), col("_pb")).distinct())
-    val newBands = newRows.select(col("band_idx"), col("band")).distinct()
-    val pruned = spark.read.parquet(indexPath)
+    val newBands = probeSide(spark, localKeys,
+      newRows.select(col("band_idx"), col("band")).schema,
+      newRows.select(col("band_idx"), col("band")).distinct())
+    val pruned = readIndex(spark, indexPath)
       .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
     val oldMatched = (if (nKeys <= maxBroadcastKeys)
         pruned.join(broadcast(newBands), Seq("band_idx", "band"), "left_semi")
@@ -1140,14 +1229,16 @@ object Dedup {
       .withColumn("fp", unhex(md5(col("seg").cast("binary"))))
       .withColumn("_pb", pmod(xxhash64(col("fp")), lit(nPartBuckets.toLong)))
     // one probe job gates BOTH broadcasts (oldHit ⊆ batchFps, so the
-    // same bound covers it) AND yields the pruning bucket list: past
-    // the cap, plain joins fall back to shuffle joins — identical
-    // output, no driver collect
-    val (nKeys, pbs) = probeStats(segs.select("fp", "_pb").distinct())
-    val batchFps = segs.select("fp").distinct()
+    // same bound covers it) AND yields the pruning bucket list — plus,
+    // in the common small-batch tier, the key set itself as a
+    // LocalRelation (no second batch kernel pass); past the cap, plain
+    // joins fall back to shuffle joins — identical output
+    val (localKeys, pbs, nKeys) = probeStats(segs.select("fp", "_pb").distinct())
+    val batchFps = probeSide(spark, localKeys, segs.select("fp").schema,
+      segs.select("fp").distinct())
     val fpsSmall = nKeys <= maxBroadcastKeys
     def whenSmall(d: DataFrame): DataFrame = if (fpsSmall) broadcast(d) else d
-    val indexAll = spark.read.parquet(indexPath)
+    val indexAll = readIndex(spark, indexPath)
       .where(col("_pb").cast("long").isin(pbs: _*)) // partition pruning
     // maxBid: replay safety for at-least-once writers (foreachBatch) —
     // "old" means appended by a STRICTLY EARLIER batch, so a replayed
@@ -1165,7 +1256,11 @@ object Dedup {
         occ === struct(col("_first").getField("id"), col("_first").getField("pos")))
     attachDupGroups(
       segs.drop("_pb").join(whenSmall(oldHit), Seq("fp"), "left"),
-      "fp", col("id"), Seq("id", "pos"), "left")
+      "fp", col("id"), Seq("id", "pos"), "left",
+      // oldHit attaches ONE distinct marker row per fingerprint, so the
+      // attach input is exactly the batch's segment rows — bound the
+      // probe-skip decision on the batch frame, not the index leaves
+      sizeBoundOn = Some(newBatch))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_segments"),

@@ -16,9 +16,19 @@ object SeqOps {
   /** Deterministic per-word tokenization of text into `[0, vocab)` — the
     * bridge from a text corpus to the pre-tokenized shape (and the
     * cross-engine-portable stand-in for a real BPE vocabulary: one
-    * md5-derived id per word, reproducible by any oracle).
+    * md5-derived id per word, reproducible by any oracle). Codegen'd
+    * kernel ([[TokenizeWords]]); ≡ [[tokenizeRef]], asserted by OpsSpec.
     */
-  def tokenize(text: Column, vocab: Int): Column =
+  def tokenize(text: Column, vocab: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(TokenizeWords(EU.expression(text), vocab))
+  }
+
+  /** Declarative HOF reference form of [[tokenize]] — the differential
+    * oracle (eval-only: one interpreted conv/substring/md5 chain per
+    * word; never on a hot path).
+    */
+  def tokenizeRef(text: Column, vocab: Int): Column =
     transform(TextOps.words(text),
       w => pmod(TextOps.portableHash(w), lit(vocab.toLong)).cast("int"))
 

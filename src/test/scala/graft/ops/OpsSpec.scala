@@ -401,6 +401,30 @@ class OpsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sqlForm == scalaForm)
   }
 
+  test("TokenizeWords kernel ≡ declarative HOF oracle (multi-space, empty, unicode, null)") {
+    val df = Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "a  b"),            // empty word from the double space
+      (2L, ""),                // one empty word
+      (3L, " leading trailing "),
+      (4L, "über naïve 日本語 café"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    for (vocab <- Seq(7, 4096, 49152)) {
+      val got = df.select(col("id"), SeqOps.tokenize(col("text"), vocab).as("t"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+      val want = df.select(col("id"), SeqOps.tokenizeRef(col("text"), vocab).as("t"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+      assert(got == want, s"vocab=$vocab")
+    }
+    // null text → null array, ids in [0, vocab)
+    val vs = df.where(col("id") === 0)
+      .select(SeqOps.tokenize(col("text"), 100)).collect()(0).getSeq[Int](0)
+    assert(vs.length == 6 && vs.forall(v => v >= 0 && v < 100))
+  }
+
   test("TokenGrams kernel ≡ declarative HOF oracle; token decontamination counts") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
