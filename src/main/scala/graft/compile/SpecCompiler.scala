@@ -572,13 +572,20 @@ object SpecCompiler {
     */
   private def enumPass(allowed: Seq[JValue], dt: DataType): Column => Column = dt match {
     case _: ArrayType | _: StructType | _: MapType =>
-      val eqs: Seq[Column => Column] =
-        if (containsMap(dt))
-          allowed.flatMap(v => jsonLit(v, dt).map(l =>
-            (c: Column) => mapCanon(c, dt) === mapCanon(l, dt)))
-        else
-          allowed.flatMap(v => jsonLit(v, dt).map(l => (c: Column) => c === l))
-      c => eqs.map(_(c)).reduceOption(_ || _).getOrElse(FalseC)
+      // membership as ONE `isin` (In), not an ||-chain of `===`: the
+      // In expression evaluates its child once, so a map-bearing column
+      // is canonicalized ONCE per row instead of once per allowed value
+      // (mapCanon's eval-only entry-sort chain was the dominant cost of
+      // the enum-over-map checks — each extra allowed value re-sorted
+      // every map in the row). Same three-valued semantics: null child →
+      // null, match → true, else false — exactly the || of === forms.
+      if (containsMap(dt)) {
+        val lits = allowed.flatMap(v => jsonLit(v, dt)).map(l => mapCanon(l, dt))
+        c => if (lits.isEmpty) FalseC else mapCanon(c, dt).isin(lits: _*)
+      } else {
+        val lits = allowed.flatMap(v => jsonLit(v, dt))
+        c => if (lits.isEmpty) FalseC else c.isin(lits: _*)
+      }
     case _ =>
       val vs: Seq[Any] = dt match {
         case StringType => allowed.collect { case JString(s) => s }

@@ -626,7 +626,12 @@ object Dedup {
   private def explodePairs(buckets: DataFrame, items: String): DataFrame =
     buckets
       .select(array_sort(col(items)).as("_s"))
-      .select(posexplode(col("_s")).as(Seq("_i", "l")), col("_s"))
+      // posexplode_outer + generated-attribute null guard: the plain
+      // posexplode's inferred filter re-ran the array_sort inside a
+      // pushed-down Filter (see ngramJaccardPairs). Exact: buckets are
+      // pre-filtered to size ≥ 2 with non-null elements.
+      .select(posexplode_outer(col("_s")).as(Seq("_i", "l")), col("_s"))
+      .where(col("l").isNotNull)
       .select(col("l"),
         explode(slice(col("_s"), col("_i") + 2, size(col("_s")) - col("_i") - 1)).as("r"))
 
@@ -857,9 +862,18 @@ object Dedup {
     // collision merges two buckets, inflating one pair's intersection
     // count by 1 — odds ~n_distinct²/2⁶⁵, immaterial beside the
     // shingling approximation itself.
+    // explode_outer + post-filter, NOT explode: InferFiltersFromGenerate
+    // derives `size(sh)>0 AND isnotnull(sh)` from a plain explode and
+    // predicate pushdown substitutes the alias — re-running the shingle
+    // KERNEL inside the Filter (2-3 evals/row, seen in the sf0.1 plan).
+    // The outer generator gets no inferred filter, and the null guard
+    // sits on the GENERATED attribute so it cannot be pushed below
+    // (ValidationEngine's outer-path precedent). Exact: a non-null text
+    // always yields ≥1 non-null shingle, so no null row ever appears.
     val inv = df
       .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("s0"))
+      .where(col("s0").isNotNull)
       .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val buckets = observeCap(inv
       .groupBy(col("s"))
@@ -1024,10 +1038,15 @@ object Dedup {
     // Zipf-head 8-gram (df 10⁸⁺ on a real corpus) was the worst case
     // of the old window form — head grams fully materialized in single
     // tasks BEFORE the `> 1` filter could drop anything.
+    // explode_outer + generated-attribute null guard: the plain
+    // explode's inferred filter re-ran the gram kernel inside a pushed-
+    // down Filter (see ngramJaccardPairs). Exact: the kernel emits ≥1
+    // gram for every non-null text, elements never null.
     val rows = df.where(col(keyCol).isNotNull && col(textCol).isNotNull)
       .select(col(keyCol).as("id"),
         EU.column(RollingHashes(EU.expression(col(textCol)), k)).as("_hs"))
-      .select(col("id"), explode(col("_hs")).as("_h"))
+      .select(col("id"), explode_outer(col("_hs")).as("_h"))
+      .where(col("_h").isNotNull)
     attachDupGroups(rows, "_h", col("id"), Nil, "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -1471,14 +1490,22 @@ object Dedup {
 
   def contaminationScores(corpus: DataFrame, keyCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String): DataFrame = {
+    // explode_outer + generated-attribute null guard on BOTH sides: the
+    // plain explode's inferred filter re-ran the shingle kernel inside a
+    // pushed-down Filter (see ngramJaccardPairs). Exact: non-null text
+    // yields ≥1 non-null shingle, null-text rows surface as one null row
+    // and are dropped by the un-pushable guard.
     val bsh = bench
-      .select(explode(shingles(col(benchTextCol))).as("s0"))
+      .select(shingles(col(benchTextCol)).as("sh"))
+      .select(explode_outer(col("sh")).as("s0"))
+      .where(col("s0").isNotNull)
       .select(xxhash64(col("s0")).as("s"))
       .distinct()
     deconSemiJoin(
       corpus
         .select(col(keyCol).as("id"), shingles(col(textCol)).as("sh"))
-        .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s0"))
+        .select(col("id"), size(col("sh")).as("n_sh"), explode_outer(col("sh")).as("s0"))
+        .where(col("s0").isNotNull)
         .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s")),
       bsh, bench, Seq("s"))
       .groupBy(col("id"), col("n_sh"))

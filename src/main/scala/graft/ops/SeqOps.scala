@@ -114,8 +114,14 @@ object SeqOps {
   def tokenContaminationScores(corpus: DataFrame, keyCol: String,
       tokensCol: String, bench: DataFrame, benchTokensCol: String,
       n: Int = 8): DataFrame = {
+    // explode_outer + generated-attribute null guard on both sides: a
+    // plain explode's inferred filter re-runs the gram kernel inside a
+    // pushed-down Filter (see Dedup.ngramJaccardPairs). Exact: the
+    // kernel emits ≥1 non-null gram for every non-null token array.
     val bg = bench
-      .select(explode(tokenGrams(col(benchTokensCol), n)).as("g0"))
+      .select(tokenGrams(col(benchTokensCol), n).as("gs"))
+      .select(explode_outer(col("gs")).as("g0"))
+      .where(col("g0").isNotNull)
       .select(xxhash64(col("g0")).as("g"))
       .distinct()
     // eval-side broadcast guarded like the text form: direct for
@@ -124,7 +130,8 @@ object SeqOps {
     Dedup.deconSemiJoin(
       corpus
         .select(col(keyCol).as("id"), tokenGrams(col(tokensCol), n).as("gs"))
-        .select(col("id"), size(col("gs")).as("n_grams"), explode(col("gs")).as("g0"))
+        .select(col("id"), size(col("gs")).as("n_grams"), explode_outer(col("gs")).as("g0"))
+        .where(col("g0").isNotNull)
         .select(col("id"), col("n_grams"), xxhash64(col("g0")).as("g")),
       bg, bench, Seq("g"))
       .groupBy(col("id"), col("n_grams"))
