@@ -200,10 +200,15 @@ object Similarity {
     */
   def corpusCentroids(corpus: DataFrame, key: String, vec: String,
       every: Long): Array[(Long, Array[Double])] =
+    // collect then sort DRIVER-side: a distributed orderBy on the
+    // centroid sample (tens..tens-of-thousands of rows by construction)
+    // costs a range-bounds sampling job + an exchange + a sort per
+    // call; the key order is the only contract and the driver sort of
+    // an already-index-sized array is free. Identical output.
     corpus.where(col(key) % every === 0)
       .select(col(key).cast("long"), col(vec).cast("array<double>"))
-      .orderBy(col(key))
       .collect()
+      .sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
   /** Distributed Lloyd iteration(s) refining an IVF codebook: assign =
